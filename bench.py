@@ -1,0 +1,81 @@
+"""Benchmark: fused image pairs/sec/chip at 256^2 (training step, batch 6).
+
+Comparable to the reference baseline recovered from its training logs:
+~0.38 s/step at batch 6 => ~15.8 pairs/s on the authors' CUDA GPU
+(BASELINE.md; `logs/Net-2025-07-29-21-32-57.log`). This measures the same
+quantity: full fusion training step (forward + Fusionloss + backward + Adam
+update) on the full-size model (depths [2,2,9,2]) at 256x256, batch 6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 15.8
+BATCH = 6
+STEPS = 10
+
+
+def main():
+    from fusionmamba_tpu.config import full_config, test_config
+    from fusionmamba_tpu.models import VSSMFusion
+    from fusionmamba_tpu.train.loop import (
+        TrainState,
+        make_fusion_optimizer,
+        make_fusion_train_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = full_config()
+        size = 256
+        batch = BATCH
+        steps = STEPS
+    else:  # CPU smoke fallback so the script always emits a result line
+        cfg = test_config(scan_impl="assoc")
+        size = 32
+        batch = 2
+        steps = 2
+
+    model = VSSMFusion(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_fusion_optimizer(1e-4))
+    train_step = make_fusion_train_step(model)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, metrics = train_step(state, x1, x2, key)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = train_step(state, x1, x2,
+                                    jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * steps / dt
+    result = {
+        "metric": "fusion train pairs/sec/chip @256^2 (batch 6, full model)"
+                  if on_tpu else "CPU-smoke pairs/sec (not comparable)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

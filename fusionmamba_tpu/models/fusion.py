@@ -1,0 +1,204 @@
+"""VSSMFusion: U-shaped dual-encoder VMamba fusion network (NHWC).
+
+Reproduces `VSSM_Fusion` (`models/vmamba_Fusion_efficross.py:753-929`) and
+`VSSM_Fusion_Segmentation` (`:995-1078`) in flax.linen:
+
+  * one shared encoder trunk applied to both modalities (the reference runs
+    `self.layers` twice via forward_features_1/2, `:861-883`), two separate
+    patch embeddings;
+  * per-scale cross-modal fusion of the skip tensors through four
+    `VSSBlockCross` (`:885-890`);
+  * decoder adds fused skips before each up stage except the first
+    (`:892-899`);
+  * head: FinalPatchExpand + 1x1 conv to 1 channel, then the
+    `out + 2*x1 + 2*x2` residual (`:927`, duplicated adds preserved).
+
+I/O is NHWC: x1, x2 are (B, H, W, in_chans); output (B, H, W, 1).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FusionModelConfig
+from ..nn.blocks import VSSBlock, VSSBlockCross
+from ..nn.initializers import torch_conv_bias, torch_conv_kernel
+from ..nn.layers import SegmentationHead
+from ..nn.patch import FinalPatchExpand, PatchEmbed, PatchExpand, PatchMerging
+
+
+class VSSStage(nn.Module):
+    """Encoder stage: depth x VSSBlock, then optional PatchMerging
+    (`vmamba_Fusion_efficross.py:622-685`)."""
+    dim: int
+    depth: int
+    drop_paths: Sequence[float]
+    d_state: int
+    ssm_ratio: float
+    mlp_ratio: float
+    attn_drop: float
+    norm_eps: float
+    scan_impl: str
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            x = VSSBlock(
+                dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
+                drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
+                attn_drop=self.attn_drop, norm_eps=self.norm_eps,
+                scan_impl=self.scan_impl, name=f"block{i}",
+            )(x, deterministic=deterministic)
+        if self.downsample:
+            x = PatchMerging(self.dim, name="downsample")(x)
+        return x
+
+
+class VSSStageUp(nn.Module):
+    """Decoder stage: optional PatchExpand first, then depth x VSSBlock
+    (`vmamba_Fusion_efficross.py:688-749`)."""
+    dim: int
+    depth: int
+    drop_paths: Sequence[float]
+    d_state: int
+    ssm_ratio: float
+    mlp_ratio: float
+    attn_drop: float
+    norm_eps: float
+    scan_impl: str
+    upsample: bool
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.upsample:
+            x = PatchExpand(self.dim, name="upsample")(x)
+        for i in range(self.depth):
+            x = VSSBlock(
+                dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
+                drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
+                attn_drop=self.attn_drop, norm_eps=self.norm_eps,
+                scan_impl=self.scan_impl, name=f"block{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+def _dpr_schedule(rate: float, depths: Sequence[int]):
+    total = sum(depths)
+    vals = [float(v) for v in np.linspace(0.0, rate, total)]
+    out, idx = [], 0
+    for d in depths:
+        out.append(tuple(vals[idx:idx + d]))
+        idx += d
+    return out
+
+
+class VSSMFusion(nn.Module):
+    cfg: FusionModelConfig
+
+    def setup(self):
+        c = self.cfg
+        nl = len(c.depths)
+        dims = c.dims
+        dims_dec = c.dims_decoder
+        dpr = _dpr_schedule(c.drop_path_rate, c.depths)
+        dpr_dec_flat = [float(v) for v in np.linspace(
+            0.0, c.drop_path_rate, sum(c.depths_decoder))][::-1]
+        dpr_dec, idx = [], 0
+        for d in c.depths_decoder:
+            dpr_dec.append(tuple(dpr_dec_flat[idx:idx + d]))
+            idx += d
+
+        self.patch_embed1 = PatchEmbed(dims[0], c.patch_size, c.patch_norm)
+        self.patch_embed2 = PatchEmbed(dims[0], c.patch_size, c.patch_norm)
+        self.pos_drop = nn.Dropout(c.drop_rate)
+
+        common = dict(
+            d_state=c.d_state, ssm_ratio=c.ssm_ratio, mlp_ratio=c.mlp_ratio,
+            attn_drop=c.attn_drop_rate, norm_eps=c.norm_eps,
+            scan_impl=c.scan_impl)
+        self.layers = [
+            VSSStage(dim=dims[i], depth=c.depths[i], drop_paths=dpr[i],
+                     downsample=(i < nl - 1), **common)
+            for i in range(nl)
+        ]
+        self.layers_up = [
+            VSSStageUp(dim=dims_dec[i], depth=c.depths_decoder[i],
+                       drop_paths=dpr_dec[i], upsample=(i != 0), **common)
+            for i in range(nl)
+        ]
+        self.cross_blocks = [
+            VSSBlockCross(dim=dims[i], d_state=c.d_state,
+                          ssm_ratio=c.ssm_ratio,
+                          attn_drop=c.attn_drop_rate, norm_eps=c.norm_eps,
+                          scan_impl=c.scan_impl)
+            for i in range(nl)
+        ]
+        self.final_up = FinalPatchExpand(dims_dec[-1], scale=4)
+        self.final_conv = nn.Conv(
+            1, (1, 1), kernel_init=torch_conv_kernel(),
+            bias_init=torch_conv_bias(dims_dec[-1] // 4))
+
+    def encode(self, x, embed, deterministic=True):
+        skips = []
+        x = embed(x)
+        x = self.pos_drop(x, deterministic=deterministic)
+        for layer in self.layers:
+            skips.append(x)
+            x = layer(x, deterministic=deterministic)
+        return x, skips
+
+    def decode(self, x, fused_skips, deterministic=True):
+        for i, layer_up in enumerate(self.layers_up):
+            if i > 0:
+                x = x + fused_skips[-i]
+            x = layer_up(x, deterministic=deterministic)
+        return x
+
+    def features(self, x1, x2, deterministic=True):
+        """Run the full network up to (and including) final_up; returns the
+        (B, H, W, dims[0]//4) feature map the seg head and fusion head share
+        (`vmamba_Fusion_efficross.py:1052-1060`)."""
+        e1, skips1 = self.encode(x1, self.patch_embed1, deterministic)
+        e2, skips2 = self.encode(x2, self.patch_embed2, deterministic)
+        x = e1 + e2
+        fused = [
+            cross(s1, s2, deterministic=deterministic)
+            for cross, s1, s2 in zip(self.cross_blocks, skips1, skips2)
+        ]
+        x = self.decode(x, fused, deterministic)
+        return self.final_up(x)
+
+    def __call__(self, x1, x2, deterministic: bool = True):
+        feats = self.features(x1, x2, deterministic)
+        out = self.final_conv(feats)
+        # reference residual `x + x_1 + x_2 + x_1 + x_2` (:927 via :1065)
+        return out + 2.0 * x1 + 2.0 * x2
+
+
+class VSSMFusionSeg(nn.Module):
+    """Fusion + segmentation heads sharing one trunk
+    (`vmamba_Fusion_efficross.py:995-1078`)."""
+    cfg: FusionModelConfig
+
+    def setup(self):
+        self.fusion_model = VSSMFusion(self.cfg)
+        self.segmentation_head = SegmentationHead(
+            in_channels=self.cfg.dims_decoder[-1] // 4,
+            num_classes=self.cfg.num_seg_classes,
+            dropout_rate=0.3)
+
+    def __call__(self, x1, x2, deterministic: bool = True,
+                 return_fusion: bool = True, return_segmentation: bool = True):
+        feats = self.fusion_model.features(x1, x2, deterministic)
+        out = {}
+        if return_segmentation:
+            out["segmentation"] = self.segmentation_head(
+                feats, deterministic=deterministic)
+        if return_fusion:
+            fused = self.fusion_model.final_conv(feats)
+            out["fusion"] = fused + 2.0 * x1 + 2.0 * x2
+        return out

@@ -1,0 +1,215 @@
+"""1-D Mamba block + language-model stack (the reference vendors this as
+`mamba_ssm/` -- `modules/mamba_simple.py:119-353`,
+`models/mixer_seq_simple.py`, `utils/generation.py`; the fusion model never
+instantiates it, but it is part of the package's capability surface).
+
+TPU-native layout: tokens on sublanes, channels on lanes -- the same
+(B, K=1, L, D) selective-scan core as SS2D. Decode uses an explicit
+(conv_state, ssm_state) cache with a single-token state update, the
+`selective_state_update` equivalent (`ops/triton/selective_state_update.py:
+21-155`) in plain jnp -- no custom kernel needed at batch-decode sizes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.initializers import (
+    a_log_s4d,
+    dt_proj_bias,
+    dt_proj_weight,
+    torch_conv_bias,
+    torch_conv_kernel,
+)
+from ..ops import selective_scan
+
+
+class MambaBlock(nn.Module):
+    """`Mamba` (`mamba_simple.py:119-294`): in_proj -> causal depthwise
+    conv1d + SiLU -> x_proj -> (dt, B, C) -> selective scan -> z gate ->
+    out_proj."""
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None
+    scan_impl: str = "auto"
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.d_model
+
+    @property
+    def rank(self) -> int:
+        return (math.ceil(self.d_model / 16)
+                if self.dt_rank is None else self.dt_rank)
+
+    @nn.compact
+    def __call__(self, x, cache: dict | None = None):
+        """x: (B, L, D). With `cache`, L must be 1 (decode step) and the
+        updated cache is returned alongside the output."""
+        B, L, _ = x.shape
+        d_in = self.d_inner
+        R = self.rank
+        N = self.d_state
+
+        xz = nn.Dense(2 * d_in, use_bias=False, name="in_proj")(x)
+        xpart, z = jnp.split(xz, 2, axis=-1)
+
+        conv_kernel = self.param(
+            "conv1d_kernel", torch_conv_kernel(), (self.d_conv, 1, d_in))
+        conv_bias = self.param(
+            "conv1d_bias", torch_conv_bias(self.d_conv), (d_in,))
+
+        x_proj = nn.Dense(R + 2 * N, use_bias=False, name="x_proj")
+        dt_w = self.param("dt_proj_weight", dt_proj_weight(R), (d_in, R))
+        dt_b = self.param("dt_proj_bias", dt_proj_bias(), (d_in,))
+        A_log = self.param("A_log", a_log_s4d(N), (d_in, N))
+        Dp = self.param("D", nn.initializers.ones, (d_in,))
+        out_proj = nn.Dense(self.d_model, use_bias=False, name="out_proj")
+
+        A = -jnp.exp(A_log.astype(jnp.float32))
+
+        if cache is None:
+            # causal depthwise conv over L
+            xc = jax.lax.conv_general_dilated(
+                xpart, conv_kernel,
+                window_strides=(1,), padding=[(self.d_conv - 1, 0)],
+                feature_group_count=d_in,
+                dimension_numbers=("NHC", "HIO", "NHC")) + conv_bias
+            xc = jax.nn.silu(xc)
+            dbc = x_proj(xc)
+            dt = jnp.einsum("blr,dr->bld", dbc[..., :R], dt_w)
+            Bm = dbc[..., R:R + N]
+            Cm = dbc[..., R + N:]
+            y = selective_scan(
+                xc[:, None].astype(jnp.float32),
+                dt[:, None].astype(jnp.float32),
+                A[None], Bm[:, None].astype(jnp.float32),
+                Cm[:, None].astype(jnp.float32),
+                Dp[None].astype(jnp.float32), dt_b[None].astype(jnp.float32),
+                delta_softplus=True, impl=self.scan_impl)[:, 0]
+            y = y.astype(x.dtype) * jax.nn.silu(z)
+            return out_proj(y), None
+
+        # ---- single-token decode (`mamba_simple.py:208-253`) ----
+        conv_state = cache["conv_state"]        # (B, d_conv, d_in)
+        ssm_state = cache["ssm_state"]          # (B, d_in, N)
+        xt = xpart[:, 0]                        # (B, d_in)
+        conv_state = jnp.concatenate(
+            [conv_state[:, 1:], xt[:, None]], axis=1)
+        xc = jnp.sum(conv_state * conv_kernel[:, 0][None], axis=1) + conv_bias
+        xc = jax.nn.silu(xc)
+        dbc = x_proj(xc)
+        dt = jax.nn.softplus(dbc[..., :R] @ dt_w.T + dt_b)
+        Bm = dbc[..., R:R + N]
+        Cm = dbc[..., R + N:]
+        dA = jnp.exp(dt[..., None] * A[None])           # (B, d_in, N)
+        dBx = (dt * xc)[..., None] * Bm[:, None, :]
+        ssm_state = ssm_state * dA + dBx
+        y = jnp.einsum("bdn,bn->bd", ssm_state, Cm) + Dp * xc
+        y = y * jax.nn.silu(z[:, 0])
+        out = out_proj(y)[:, None]
+        return out, {"conv_state": conv_state, "ssm_state": ssm_state}
+
+    def init_cache(self, batch: int, dtype=jnp.float32) -> dict:
+        return make_cache(batch, self.d_inner, self.d_state, self.d_conv,
+                          dtype)
+
+
+def make_cache(batch: int, d_inner: int, d_state: int, d_conv: int = 4,
+               dtype=jnp.float32) -> dict:
+    return {
+        "conv_state": jnp.zeros((batch, d_conv, d_inner), dtype),
+        "ssm_state": jnp.zeros((batch, d_inner, d_state), dtype),
+    }
+
+
+class ResidualBlock(nn.Module):
+    """Prenorm block (`mamba_simple.py:297-353`)."""
+    d_model: int
+    d_state: int = 16
+    scan_impl: str = "auto"
+    norm_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, cache=None):
+        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        h, cache = MambaBlock(self.d_model, d_state=self.d_state,
+                              scan_impl=self.scan_impl, name="mixer")(
+            h, cache)
+        return x + h, cache
+
+
+class MambaLMHeadModel(nn.Module):
+    """`MambaLMHeadModel` (`models/mixer_seq_simple.py`): embedding ->
+    n_layer prenorm Mamba blocks -> final norm -> tied LM head."""
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 24
+    d_state: int = 16
+    scan_impl: str = "auto"
+    norm_eps: float = 1e-5
+
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.d_model)
+        self.blocks = [
+            ResidualBlock(self.d_model, d_state=self.d_state,
+                          scan_impl=self.scan_impl)
+            for _ in range(self.n_layer)
+        ]
+        self.norm_f = nn.LayerNorm(epsilon=self.norm_eps)
+
+    def __call__(self, tokens, caches=None):
+        """tokens: (B, L) int32. Returns (logits, caches)."""
+        x = self.embedding(tokens)
+        new_caches = []
+        for i, block in enumerate(self.blocks):
+            x, c = block(x, None if caches is None else caches[i])
+            new_caches.append(c)
+        x = self.norm_f(x)
+        logits = self.embedding.attend(x)  # tied head
+        return logits, (new_caches if caches is not None else None)
+
+    def init_caches(self, batch: int) -> list[dict]:
+        return [
+            make_cache(batch, 2 * self.d_model, self.d_state)
+            for _ in range(self.n_layer)
+        ]
+
+
+def generate(model: MambaLMHeadModel, variables: Any, prompt: jax.Array,
+             max_new_tokens: int, temperature: float = 1.0,
+             top_k: int = 0, rng: jax.Array | None = None) -> jax.Array:
+    """Autoregressive sampling with cached single-token steps
+    (`utils/generation.py:121-242`; greedy when temperature == 0)."""
+    B = prompt.shape[0]
+    caches = model.init_caches(B)
+    # prefill one token at a time (simple; prompt lengths are small for this
+    # capability's use)
+    tok = None
+    for i in range(prompt.shape[1]):
+        logits, caches = model.apply(variables, prompt[:, i:i + 1], caches)
+        tok = prompt[:, i:i + 1]
+    out = [prompt]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    last_logits = logits[:, -1]
+    for step in range(max_new_tokens):
+        if temperature == 0.0:
+            tok = jnp.argmax(last_logits, axis=-1)[:, None]
+        else:
+            scaled = last_logits / temperature
+            if top_k > 0:
+                kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            rng, sub = jax.random.split(rng)
+            tok = jax.random.categorical(sub, scaled)[:, None]
+        out.append(tok)
+        logits, caches = model.apply(variables, tok, caches)
+        last_logits = logits[:, -1]
+    return jnp.concatenate(out, axis=1)

@@ -1,0 +1,184 @@
+"""Primitive layers of the fusion network (NHWC, flax.linen).
+
+Each class documents the reference component it reproduces (file:line in
+/root/reference) including the quirks that shape trained-checkpoint parity.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath used at
+    `models/cross.py:1353,1374-1376`)."""
+    rate: float = 0.0
+    deterministic: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool | None = None):
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic)
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Dense(nn.Dense):
+    """nn.Dense with the reference's trunc_normal(0.02)/zeros init
+    (`vmamba_Fusion_efficross.py:845-848`)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("kernel_init", trunc_normal(0.02))
+        super().__init__(*args, **kwargs)
+
+
+class LDC(nn.Module):
+    """Learnable central-difference conv (`models/cross.py:790-814`).
+
+    Effective weight = W * (1 - theta * M[i,o] * center_mask * sum_k W[.,i,o])
+    where M is a learnable per-(in,out) mask and theta a learnable scalar
+    (both init 1 and 0.5). Stored in HWIO; groups=1, 3x3, pad 1, no bias
+    (reference default bias=False).
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param(
+            "kernel", torch_conv_kernel(),
+            (k, k, self.in_channels, self.out_channels))
+        learnable_mask = self.param(
+            "learnable_mask", nn.initializers.ones,
+            (self.in_channels, self.out_channels))
+        theta = self.param(
+            "learnable_theta", lambda key, shape: 0.5 * jnp.ones(shape),
+            (1,))
+        center = jnp.zeros((k, k, 1, 1)).at[k // 2, k // 2, 0, 0].set(1.0)
+        wsum = jnp.sum(w, axis=(0, 1), keepdims=True)   # (1,1,I,O)
+        mask = 1.0 - theta * learnable_mask[None, None] * center * wsum
+        eff_w = w * mask
+        return jax.lax.conv_general_dilated(
+            x, eff_w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class ECALayer(nn.Module):
+    """Efficient channel attention (`models/cross.py:1233-1259`): GAP over
+    space -> conv1d(k=3) across the channel axis -> sigmoid gate."""
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        w = self.param(
+            "conv_kernel", torch_conv_bias(self.k_size), (self.k_size,))
+        y = jnp.mean(x, axis=(1, 2))             # (B, C)
+        y = jax.lax.conv_general_dilated(
+            y[:, :, None], w[:, None, None],
+            window_strides=(1,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"))[:, :, 0]
+        gate = jax.nn.sigmoid(y)
+        return x * gate[:, None, None, :]
+
+
+class BiAttn(nn.Module):
+    """Global channel attention (`models/cross.py:744-768`): LN -> spatial
+    mean -> reduce(0.125x) -> GELU -> expand -> sigmoid -> scale input."""
+    in_channels: int
+    act_ratio: float = 0.125
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        reduce_ch = int(self.in_channels * self.act_ratio)
+        ori = x
+        x = nn.LayerNorm(name="norm")(x)
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = gelu_exact(Dense(reduce_ch, name="global_reduce")(g))
+        attn = jax.nn.sigmoid(Dense(self.in_channels, name="channel_select")(g))
+        return ori * attn
+
+
+class Mlp(nn.Module):
+    """2-layer GELU MLP (`models/cross.py:770-788`)."""
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Dense(self.hidden, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = Dense(self.out, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class DifferentialEnhance(nn.Module):
+    """Cross-modal difference gating (`models/cross.py:843-864`):
+    w12 = sigmoid(GAP(x1-x2)), F1 = w12*fuse + x1 (and symmetrically F2).
+    The reference also constructs an unused `lastconv`; omitted here."""
+
+    @nn.compact
+    def __call__(self, fuse, x1, x2):
+        w12 = jax.nn.sigmoid(jnp.mean(x1 - x2, axis=(1, 2), keepdims=True))
+        w21 = jax.nn.sigmoid(jnp.mean(x2 - x1, axis=(1, 2), keepdims=True))
+        return w12 * fuse + x1, w21 * fuse + x2
+
+
+class CrossLayer(nn.Module):
+    """Texture + differential enhancement (`models/cross.py:866-888`):
+    F_i = LDC_i(x_i) + DiffEnhance(fuse, x1, x2)_i."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, fuse, x1, x2):
+        tx1 = LDC(self.dim, self.dim, name="texture_enhance1")(x1)
+        tx2 = LDC(self.dim, self.dim, name="texture_enhance2")(x2)
+        df1, df2 = DifferentialEnhance(name="diff_enhance")(fuse, x1, x2)
+        return tx1 + df1, tx2 + df2
+
+
+class SegmentationHead(nn.Module):
+    """Seg head (`vmamba_Fusion_efficross.py:932-992`): two conv3x3+BN+ReLU,
+    1x1 sigmoid attention gate, dropout, 1x1 classifier."""
+    in_channels: int
+    num_classes: int
+    dropout_rate: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # NHWC
+        c2 = self.in_channels * 2
+
+        def conv(ch, k, name):
+            return nn.Conv(
+                ch, (k, k), padding="SAME", name=name,
+                kernel_init=nn.initializers.kaiming_normal(),
+                bias_init=nn.initializers.zeros)
+
+        x = conv(c2, 3, "conv1")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = conv(c2, 3, "conv2")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, name="bn2")(x)
+        x = jax.nn.relu(x)
+        att = jax.nn.sigmoid(conv(c2, 1, "attention")(x))
+        x = x * att
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return conv(self.num_classes, 1, "final_conv")(x)

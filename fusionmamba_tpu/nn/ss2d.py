@@ -1,0 +1,158 @@
+"""SS2D modules: the VMamba 2-D selective-scan core (NHWC, flax.linen).
+
+`SS2D` reproduces `models/cross.py:417-742` (v2 / "efficient" core with
+stride-2 four-direction scan); `SS2DCross` reproduces `SS2D_cross_new`
+(`models/cross.py:890-1230`) including its checkpoint-relevant quirks:
+a single depthwise conv shared by both modalities (`:1212-1213`), the
+pre-scan fusion x1*x2 + x1 + x2 (`:372`), and the z2 gate computed from the
+already-activated z1 (`:1207-1209` -- z2 = silu(silu(z1_raw))).
+
+The scan pipeline follows `cross_selective_scan` (`models/cross.py:266-337`):
+efficient_scan -> per-direction x_proj einsum -> dt low-rank projection ->
+fp32 selective scan (A = -exp(A_logs), delta_softplus) -> efficient_merge ->
+LayerNorm. Projections run on the MXU via einsum with channels in lanes; the
+K=4 directions are a batch axis of the fused Pallas kernel rather than a
+channel-dim fold (reference folds K into channels, `models/cross.py:239`).
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import efficient_merge, efficient_scan, selective_scan
+from .initializers import (
+    a_log_s4d,
+    dt_proj_bias,
+    dt_proj_weight,
+    torch_conv_bias,
+    torch_conv_kernel,
+    trunc_normal,
+)
+
+K_DIRS = 4
+
+
+class _SSMCore(nn.Module):
+    """Shared SSM parameter bundle + scan pipeline for SS2D and SS2DCross."""
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: int | None = None
+    scan_impl: str = "auto"
+
+    @property
+    def d_inner(self) -> int:
+        return int(self.ssm_ratio * self.d_model)
+
+    @property
+    def rank(self) -> int:
+        return (math.ceil(self.d_model / 16)
+                if self.dt_rank is None else self.dt_rank)
+
+    @nn.compact
+    def scan(self, x):  # x: (B, H, W, d_inner)
+        B, H, W, D = x.shape
+        N = self.d_state
+        R = self.rank
+
+        x_proj_weight = self.param(
+            "x_proj_weight", dt_proj_weight(D),  # torch Linear default-free;
+            (K_DIRS, R + 2 * N, D))
+        dt_projs_weight = self.param(
+            "dt_projs_weight", dt_proj_weight(R), (K_DIRS, D, R))
+        dt_projs_bias = self.param(
+            "dt_projs_bias", dt_proj_bias(), (K_DIRS, D))
+        A_logs = self.param(
+            "A_logs", a_log_s4d(N), (K_DIRS, D, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K_DIRS, D))
+
+        xs = efficient_scan(x)                       # (B, 4, L, D)
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+        dts = x_dbl[..., :R]
+        Bs = x_dbl[..., R:R + N]
+        Cs = x_dbl[..., R + N:]
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
+
+        As = -jnp.exp(A_logs.astype(jnp.float32))
+        ys = selective_scan(
+            xs.astype(jnp.float32), dts.astype(jnp.float32), As,
+            Bs.astype(jnp.float32), Cs.astype(jnp.float32),
+            Ds.astype(jnp.float32), dt_projs_bias.astype(jnp.float32),
+            delta_softplus=True, impl=self.scan_impl)  # (B, 4, L, D) fp32
+
+        y = efficient_merge(ys, H, W)                # (B, H, W, D)
+        y = nn.LayerNorm(name="out_norm")(y)
+        return y.astype(x.dtype)
+
+
+class SS2D(_SSMCore):
+    """Single-modal SS2D (`models/cross.py:417-742`, forward `:724-742`)."""
+    d_conv: int = 3
+    conv_bias: bool = True
+    proj_bias: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):  # NHWC (B,H,W,d_model)
+        d_exp = self.d_inner
+        xz = nn.Dense(2 * d_exp, use_bias=self.proj_bias,
+                      kernel_init=trunc_normal(0.02), name="in_proj")(x)
+        xpart, z = jnp.split(xz, 2, axis=-1)
+        z = jax.nn.silu(z)
+        xpart = nn.Conv(
+            d_exp, (self.d_conv, self.d_conv), padding="SAME",
+            feature_group_count=d_exp, use_bias=self.conv_bias,
+            kernel_init=torch_conv_kernel(),
+            bias_init=torch_conv_bias(self.d_conv * self.d_conv),
+            name="conv2d")(xpart)
+        xpart = jax.nn.silu(xpart)
+        y = self.scan(xpart)
+        y = y * z
+        out = nn.Dense(self.d_model, use_bias=self.proj_bias,
+                       kernel_init=trunc_normal(0.02), name="out_proj")(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class SS2DCross(_SSMCore):
+    """Cross-modal SS2D (`models/cross.py:890-1230`)."""
+    d_conv: int = 3
+    conv_bias: bool = True
+    proj_bias: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x1, x2, deterministic: bool = True):
+        d_exp = self.d_inner
+        xz1 = nn.Dense(2 * d_exp, use_bias=self.proj_bias,
+                       kernel_init=trunc_normal(0.02), name="in_proj1")(x1)
+        xz2 = nn.Dense(2 * d_exp, use_bias=self.proj_bias,
+                       kernel_init=trunc_normal(0.02), name="in_proj2")(x2)
+        x1p, z1 = jnp.split(xz1, 2, axis=-1)
+        x2p, _z2_unused = jnp.split(xz2, 2, axis=-1)
+        # reference quirk (`models/cross.py:1207-1209`): z1 = act(z1), then
+        # z2 = act(z1) reads the already-activated z1
+        z1 = jax.nn.silu(z1)
+        z2 = jax.nn.silu(z1)
+
+        conv = nn.Conv(
+            d_exp, (self.d_conv, self.d_conv), padding="SAME",
+            feature_group_count=d_exp, use_bias=self.conv_bias,
+            kernel_init=torch_conv_kernel(),
+            bias_init=torch_conv_bias(self.d_conv * self.d_conv),
+            name="conv2d")  # shared across modalities (`:1212-1213`)
+        x1p = jax.nn.silu(conv(x1p))
+        x2p = jax.nn.silu(conv(x2p))
+
+        fused = x1p * x2p + x1p + x2p  # pre-scan fusion (`:372`)
+        y = self.scan(fused)
+        y = y * z1 + y * z2
+        out = nn.Dense(self.d_model, use_bias=self.proj_bias,
+                       kernel_init=trunc_normal(0.02), name="out_proj")(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out

@@ -1,0 +1,66 @@
+"""Public selective-scan API with implementation dispatch.
+
+`selective_scan(...)` is the single entry point the model layer uses; it
+routes to one of three implementations:
+
+  * "ref"    -- sequential `lax.scan` oracle (scan_ref.py)
+  * "assoc"  -- `lax.associative_scan` pure-XLA path (scan_assoc.py)
+  * "pallas" -- fused Pallas TPU kernel (scan_pallas.py)
+  * "auto"   -- pallas on TPU backends, assoc elsewhere
+
+Canonical layout (channels-last, TPU-native):
+    u, delta : (B, K, L, D)   A: (K, D, N)   Bmat/Cmat: (B, K, L, N)
+    D, delta_bias: (K, D)
+K is the direction axis of the SS2D four-direction scan (K=1 for plain 1-D
+Mamba use). This replaces the reference's (B, K*D, L) + grouped-B layout
+(`models/cross.py:239-252`): folding K into an explicit axis instead of the
+channel dim keeps every block MXU/VPU aligned without grouped-B reshapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .scan_assoc import selective_scan_assoc
+from .scan_pallas import selective_scan_pallas
+from .scan_ref import selective_scan_ref
+
+_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret")
+
+
+def _default_impl() -> str:
+    platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "assoc"
+
+
+def selective_scan(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    Bmat: jax.Array,
+    Cmat: jax.Array,
+    D: jax.Array | None = None,
+    delta_bias: jax.Array | None = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    impl: str = "auto",
+):
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if impl == "auto":
+        impl = _default_impl()
+    if impl == "ref":
+        return selective_scan_ref(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+            return_last_state)
+    if impl == "assoc":
+        return selective_scan_assoc(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+            return_last_state)
+    if impl == "pallas_interpret":
+        return selective_scan_pallas(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+            return_last_state, interpret=True)
+    return selective_scan_pallas(
+        u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+        return_last_state)

@@ -1,0 +1,140 @@
+"""Jitted train/eval steps (fusion and segmentation).
+
+Reference training semantics:
+  * fusion (`train.py:74-205`): Adam, per-epoch lr = 1e-4 * 0.75^(epoch-1)
+    (`train.py:125-131`), output clamped to [0, 1] before the loss
+    (`train.py:149-152`), Fusionloss backward/step.
+  * segmentation (`train_segmentation.py:288-465`): AdamW 5e-5 + poly LR and
+    grad-clip 1.0 for PST900 (`:342-361,462-463`).
+Params/opt-state are donated; batch is sharded over the mesh `data` axis and
+params follow `parallel.sharding.param_shardings` (dp + tp via GSPMD).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..losses import fusion_loss, improved_pst900_loss, segmentation_loss
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def reference_fusion_lr(epoch: int) -> float:
+    """`train.py:125-131`: lr = 1e-4 * 0.75^(epoch-1), set per epoch."""
+    return 1e-4 * (0.75 ** max(epoch - 1, 0))
+
+
+def poly_lr(base_lr: float, step: int, max_iter: int,
+            power: float = 0.9) -> float:
+    """`train_segmentation.py:94-100`."""
+    return base_lr * (1.0 - step / max_iter) ** power
+
+
+def make_fusion_optimizer(lr: float | Callable = 1e-4) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def make_seg_optimizer(lr: float = 5e-5, clip: float = 1.0,
+                       weight_decay: float = 0.01):
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
+                                              weight_decay=weight_decay),
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Update the injected learning-rate hyperparam (per-epoch decay)."""
+    opt_state = state.opt_state
+    # optax.chain wraps states in a tuple; find the hyperparams holder
+    def _update(os):
+        if hasattr(os, "hyperparams") and "learning_rate" in os.hyperparams:
+            os.hyperparams["learning_rate"] = jnp.asarray(lr)
+        return os
+    if isinstance(opt_state, tuple):
+        for os in opt_state:
+            _update(os)
+    else:
+        _update(opt_state)
+    return state
+
+
+def make_fusion_train_step(model) -> Callable:
+    """Returns jitted (state, vis_y, ir, rng) -> (state, metrics)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, vis_y, ir, rng):
+        def loss_fn(params):
+            gen = model.apply({"params": params}, vis_y, ir,
+                              deterministic=False, rngs={"dropout": rng})
+            gen = jnp.clip(gen, 0.0, 1.0)   # train.py:149-152 clamp
+            out = fusion_loss(vis_y, ir, gen)
+            return out.total, out
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss_total": aux.total,
+            "loss_in": aux.loss_in,
+            "loss_ssim": aux.ssim_value,
+            "loss_grad": aux.loss_grad,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_seg_train_step(model, num_classes: int, mode: str = "segmentation",
+                        fusion_weight: float = 1.0, seg_weight: float = 1.0,
+                        class_weights=None, improved: bool = False):
+    """Seg / combined train step (train_segmentation.py:367-465)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=())
+    def train_step(state: TrainState, vis_y, ir, labels, rng):
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            outs, updates = model.apply(
+                variables, vis_y, ir, deterministic=False,
+                return_fusion=(mode != "segmentation"),
+                return_segmentation=(mode != "fusion"),
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            total = 0.0
+            metrics = {}
+            if "fusion" in outs:
+                gen = jnp.clip(outs["fusion"], 0.0, 1.0)
+                f = fusion_loss(vis_y, ir, gen)
+                total = total + fusion_weight * f.total
+                metrics["fusion_total"] = f.total
+            if "segmentation" in outs:
+                if improved:
+                    s = improved_pst900_loss(outs["segmentation"], labels,
+                                             num_classes, class_weights)
+                else:
+                    s = segmentation_loss(outs["segmentation"], labels,
+                                          num_classes, weight=class_weights)
+                total = total + seg_weight * s.total
+                metrics["seg_total"] = s.total
+            metrics["total"] = total
+            return total, (metrics, updates)
+
+        (_, (metrics, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        return state, metrics
+
+    return train_step
+
+
+class SegTrainState(train_state.TrainState):
+    batch_stats: Any = None

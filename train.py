@@ -1,0 +1,119 @@
+"""Fusion training CLI (mirrors reference `train.py:74-241`).
+
+Per-dataset warm start, Adam with the reference per-epoch decay
+lr = 1e-4 * 0.75^(epoch-1) (`train.py:125-131`), batch 6 at 256x256,
+output clamp to [0,1], Fusionloss, 10-step loss/ETA logging, per-dataset
+checkpoint save. `--dataset all` trains acod, mfnet, pst900 sequentially
+(`train.py:223-235`). TPU-native: jitted train step, GSPMD batch sharding
+across all local devices, orbax checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", type=str, default="pst900",
+                    choices=["acod", "mfnet", "pst900", "all"])
+    ap.add_argument("--epochs", "-E", type=int, default=2)
+    ap.add_argument("--batch_size", "-B", type=int, default=6)
+    ap.add_argument("--model", choices=["full", "tiny"], default="full")
+    ap.add_argument("--ckpt_dir", type=str, default="model_last/my_cross")
+    ap.add_argument("--num_workers", "-j", type=int, default=0)
+    ap.add_argument("--scan_impl", type=str, default="auto")
+    return ap.parse_args()
+
+
+def train_fusion(args, dataset_name: str, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from fusionmamba_tpu.checkpoints.orbax_io import (
+        checkpoint_exists, load_checkpoint, save_checkpoint)
+    from fusionmamba_tpu.config import full_config, tiny_config
+    from fusionmamba_tpu.data import FusionDataset, batch_iterator
+    from fusionmamba_tpu.models import VSSMFusion
+    from fusionmamba_tpu.parallel.sharding import batch_sharding, make_mesh
+    from fusionmamba_tpu.train import (
+        TrainState, make_fusion_optimizer, make_fusion_train_step,
+        reference_fusion_lr, set_learning_rate)
+
+    cfg_fn = full_config if args.model == "full" else tiny_config
+    cfg = cfg_fn(scan_impl=args.scan_impl)
+    model = VSSMFusion(cfg)
+
+    x0 = jnp.zeros((1, 256, 256, 1), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0, x0)
+    params = variables["params"]
+
+    ckpt_path = os.path.join(args.ckpt_dir, f"fusion_model_{dataset_name}")
+    if checkpoint_exists(ckpt_path):
+        logger.info(f"warm start from {ckpt_path}")
+        params = load_checkpoint(ckpt_path, params)
+
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_fusion_optimizer(1e-4))
+    train_step = make_fusion_train_step(model)
+
+    ds = FusionDataset(split="train", dataset_name=dataset_name)
+    n_devices = jax.local_device_count()
+    mesh = make_mesh(n_devices, 1)
+    bs = batch_sharding(mesh)
+
+    steps_per_epoch = len(ds) // args.batch_size
+    total_steps = steps_per_epoch * args.epochs
+    logger.info(f"{dataset_name}: {len(ds)} pairs, "
+                f"{steps_per_epoch} steps/epoch, {n_devices} devices")
+
+    key = jax.random.PRNGKey(0)
+    st = glob_st = time.time()
+    step = 0
+    for epoch in range(1, args.epochs + 1):
+        state = set_learning_rate(state, reference_fusion_lr(epoch))
+        it = batch_iterator(ds, args.batch_size, shuffle=True, seed=epoch)
+        for batch in it:
+            vis_y, ir = batch[0], batch[1]
+            vis_y = jax.device_put(jnp.asarray(vis_y), bs)
+            ir = jax.device_put(jnp.asarray(ir), bs)
+            state, metrics = train_step(state, vis_y, ir,
+                                        jax.random.fold_in(key, step))
+            step += 1
+            if step % 10 == 0:
+                jax.block_until_ready(metrics)
+                ed = time.time()
+                t_int = ed - st
+                eta = int((total_steps - step) * (ed - glob_st) / step)
+                eta = str(datetime.timedelta(seconds=eta))
+                logger.info(
+                    "epoch:{epoch} step:{step}/{total} "
+                    "loss_total:{lt:.4f} loss_in:{li:.4f} "
+                    "loss_ssim:{ls:.4f} loss_grad:{lg:.4f} "
+                    "time:{t:.4f} eta:{eta}".format(
+                        epoch=epoch, step=step, total=total_steps,
+                        lt=float(metrics["loss_total"]),
+                        li=float(metrics["loss_in"]),
+                        ls=float(metrics["loss_ssim"]),
+                        lg=float(metrics["loss_grad"]),
+                        t=t_int, eta=eta))
+                st = ed
+    save_checkpoint(ckpt_path, jax.device_get(state.params))
+    logger.info(f"saved {ckpt_path}")
+
+
+def main():
+    args = parse_args()
+    from fusionmamba_tpu.utils import setup_logger
+    logger = setup_logger()
+    datasets = (["acod", "mfnet", "pst900"] if args.dataset == "all"
+                else [args.dataset])
+    for ds in datasets:
+        logger.info(f"=== training fusion on {ds} ===")
+        train_fusion(args, ds, logger)
+
+
+if __name__ == "__main__":
+    main()

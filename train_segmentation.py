@@ -1,0 +1,166 @@
+"""Segmentation / combined training CLI (mirrors reference
+`train_segmentation.py:102-547`).
+
+Semantics preserved: per-dataset class counts (acod 2 / mfnet 9 / pst900 5,
+`:299-306`); PST900 special-casing -- batch 2, AdamW 5e-5 + poly LR,
+data-driven ImprovedPST900Loss, grad-clip 1.0 (`:342-369,462-463`); modes
+{fusion, segmentation, both} with fusion/seg loss weights; periodic test
+eval with best-mIoU checkpointing (`:531-540`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+NUM_CLASSES = {"acod": 2, "mfnet": 9, "pst900": 5}
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", type=str, default="mfnet",
+                    choices=list(NUM_CLASSES))
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--fusion_weight", type=float, default=1.0)
+    ap.add_argument("--seg_weight", type=float, default=1.0)
+    ap.add_argument("--mode", type=str, default="segmentation",
+                    choices=["fusion", "segmentation", "both"])
+    ap.add_argument("--eval_interval", type=int, default=1)
+    ap.add_argument("--ckpt_dir", type=str, default="model_last/segmentation")
+    ap.add_argument("--model", choices=["full", "tiny"], default="full")
+    ap.add_argument("--scan_impl", type=str, default="auto")
+    return ap.parse_args()
+
+
+def compute_dataset_class_counts(ds, num_classes: int) -> np.ndarray:
+    """Full-dataset label histogram (`train_segmentation.py:43-55`)."""
+    counts = np.zeros(num_classes, np.float64)
+    for i in range(len(ds)):
+        item = ds[i]
+        if len(item) == 3:
+            lbl = item[2]
+            counts += np.bincount(
+                np.clip(lbl.flatten(), 0, num_classes - 1),
+                minlength=num_classes)
+    return counts
+
+
+def evaluate(model, variables, ds, num_classes, batch_size, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from fusionmamba_tpu.data import batch_iterator
+    from fusionmamba_tpu.eval import RunningScore
+
+    @jax.jit
+    def predict(v, a, b):
+        outs = model.apply(v, a, b, deterministic=True,
+                           return_fusion=False, return_segmentation=True)
+        return jnp.argmax(outs["segmentation"], axis=-1)
+
+    score = RunningScore(num_classes)
+    for batch in batch_iterator(ds, batch_size, shuffle=False,
+                                drop_last=False):
+        vis_y, ir, lbl = batch
+        pred = np.asarray(predict(variables, jnp.asarray(vis_y),
+                                  jnp.asarray(ir)))
+        score.update(lbl, pred)
+    s = score.get_scores()
+    logger.info(f"eval: pixel_acc={s['pixel_acc']:.4f} "
+                f"mAcc={s['mean_acc']:.4f} mIoU={s['mean_iou']:.4f} "
+                f"fwIoU={s['fw_iou']:.4f}")
+    return s
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fusionmamba_tpu.checkpoints.orbax_io import save_checkpoint
+    from fusionmamba_tpu.config import full_config, tiny_config
+    from fusionmamba_tpu.data import FusionDataset, batch_iterator
+    from fusionmamba_tpu.losses import compute_class_weights
+    from fusionmamba_tpu.models import VSSMFusionSeg
+    from fusionmamba_tpu.train import (
+        SegTrainState, make_seg_optimizer, make_seg_train_step, poly_lr,
+        set_learning_rate)
+    from fusionmamba_tpu.utils import setup_logger
+
+    logger = setup_logger(logpth=args.ckpt_dir)
+    num_classes = NUM_CLASSES[args.dataset]
+    is_pst900 = args.dataset == "pst900"
+    batch_size = 2 if is_pst900 else args.batch_size
+    lr = 5e-5 if is_pst900 else args.lr
+
+    cfg_fn = full_config if args.model == "full" else tiny_config
+    cfg = cfg_fn(scan_impl=args.scan_impl, num_seg_classes=num_classes)
+    model = VSSMFusionSeg(cfg)
+
+    train_ds = FusionDataset(split="train", dataset_name=args.dataset)
+    test_ds = (FusionDataset(split="test", dataset_name=args.dataset)
+               if args.dataset in ("mfnet", "pst900") else None)
+
+    class_weights = None
+    improved = False
+    if is_pst900:
+        counts = compute_dataset_class_counts(train_ds, num_classes)
+        class_weights = jnp.asarray(
+            compute_class_weights(jnp.asarray(counts)))
+        improved = True
+        logger.info(f"PST900 class weights: {np.asarray(class_weights)}")
+
+    x0 = jnp.zeros((1, 256, 256, 1), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0, x0)
+    state = SegTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_seg_optimizer(lr=lr, clip=1.0))
+    train_step = make_seg_train_step(
+        model, num_classes, mode=args.mode,
+        fusion_weight=args.fusion_weight, seg_weight=args.seg_weight,
+        class_weights=class_weights, improved=improved)
+
+    steps_per_epoch = len(train_ds) // batch_size
+    max_iter = steps_per_epoch * args.epochs
+    key = jax.random.PRNGKey(0)
+    best_miou = -1.0
+    step = 0
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        for batch in batch_iterator(train_ds, batch_size, seed=epoch):
+            vis_y, ir, lbl = batch
+            if is_pst900:
+                state = set_learning_rate(state, poly_lr(lr, step, max_iter))
+            state, metrics = train_step(
+                state, jnp.asarray(vis_y), jnp.asarray(ir),
+                jnp.asarray(lbl), jax.random.fold_in(key, step))
+            step += 1
+            if step % 10 == 0:
+                logger.info(
+                    f"epoch:{epoch} step:{step}/{max_iter} "
+                    + " ".join(f"{k}:{float(v):.4f}"
+                               for k, v in metrics.items()))
+        logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+
+        ckpt = os.path.join(os.path.abspath(args.ckpt_dir),
+                            f"segmentation_model_{args.dataset}")
+        tree = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        save_checkpoint(ckpt, tree)
+        if test_ds is not None and epoch % args.eval_interval == 0:
+            scores = evaluate(model, tree, test_ds, num_classes,
+                              batch_size, logger)
+            if scores["mean_iou"] > best_miou:
+                best_miou = scores["mean_iou"]
+                save_checkpoint(ckpt + "_best", tree)
+                logger.info(f"new best mIoU {best_miou:.4f}")
+
+
+if __name__ == "__main__":
+    main()
