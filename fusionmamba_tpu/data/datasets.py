@@ -210,6 +210,8 @@ class FusionDataset:
         return self.length
 
     def __getitem__(self, index: int):
+        from . import native as _native
+
         attempts = 0
         n = len(self.filepath_vis)
         while attempts < n:
@@ -219,12 +221,16 @@ class FusionDataset:
                 index = (index + 1) % n
                 attempts += 1
                 continue
-            ir = _pil_resize(ir, self.size, "bicubic")
-            vis = _pil_resize(vis, self.size, "bicubic")
-            vis_y = _rgb_to_gray(vis).astype(np.float32) / 255.0
-            ir = ir.astype(np.float32) / 255.0
-            vis_y = vis_y[..., None]
-            ir = ir[..., None]
+            if _native.available():
+                # fused C++ path (native/preprocess.cpp): PIL-exact bicubic
+                # resize + BT.601 gray + /255, GIL-free
+                vis_y, ir = _native.preprocess_pair(vis, ir, self.size)
+            else:
+                ir = _pil_resize(ir, self.size, "bicubic")
+                vis = _pil_resize(vis, self.size, "bicubic")
+                vis_y = _rgb_to_gray(vis).astype(np.float32) / 255.0
+                ir = ir.astype(np.float32)[..., None] / 255.0
+                vis_y = vis_y[..., None]
             if self.has_labels:
                 lbl = _imread_gray(self.filepath_labels[index])
                 if lbl is not None:

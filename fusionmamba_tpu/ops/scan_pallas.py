@@ -54,7 +54,13 @@ def _largest_divisor_leq(n: int, cap: int, prefer_multiple: int = 128) -> int:
     return best
 
 
-def _pick_blocks(L: int, D: int, d_cap: int = 256, l_cap: int = 512) -> _BlockCfg:
+def _pick_blocks(L: int, D: int, d_cap: int = 256,
+                 l_cap: int = 256) -> _BlockCfg:
+    """Forward and backward MUST agree on l_chunk (the backward consumes the
+    forward's per-chunk carries), and the backward keeps ~3x more live
+    (L_CHUNK, D_BLK) buffers (recomputed states, adjoint scan, gradient
+    accumulators) -- l_cap 256 keeps its scoped-VMEM stack under the 16 MB
+    limit at D_BLK 256."""
     d_blk = _largest_divisor_leq(D, d_cap)
     l_chunk = _largest_divisor_leq(L, l_cap, prefer_multiple=8)
     return _BlockCfg(d_blk, l_chunk, D // d_blk, L // l_chunk)
@@ -67,6 +73,15 @@ def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
         return jnp.full_like(x, fill)
     pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
     return jnp.concatenate([pad, x[: L - s]], axis=0)
+
+
+def _shift_up(x: jax.Array, s: int, fill: float) -> jax.Array:
+    """Shift rows (time axis 0) up by s; bottom s rows become `fill`."""
+    L = x.shape[0]
+    if s >= L:
+        return jnp.full_like(x, fill)
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[s:], pad], axis=0)
 
 
 def _doubling_scan(a: jax.Array, b: jax.Array):
@@ -86,6 +101,26 @@ def _doubling_scan(a: jax.Array, b: jax.Array):
         a = a * a_sh
         s *= 2
     return a, b
+
+
+def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
+    """Reverse inclusive scan r_l = b_l + a_next_l * r_{l+1}, r_L = 0, along
+    axis 0 -- the adjoint recurrence. Shift-UP doubling (Mosaic cannot lower
+    lax.rev, so no flips): the composed operator over (l, l+s] satisfies
+    X <- X + A * up(X), A <- A * up(A).
+
+    Returns (a_cum_rev, r): a_cum_rev_l = prod_{i=l..L-1} a_next_i (the
+    coefficient for injecting the right-side carry), r the zero-init scan.
+    """
+    L = a_next.shape[0]
+    s = 1
+    while s < L:
+        a_sh = _shift_up(a_next, s, 1.0)
+        b_sh = _shift_up(b, s, 0.0)
+        b = b + a_next * b_sh
+        a_next = a_next * a_sh
+        s *= 2
+    return a_next, b
 
 
 # ----------------------------------------------------------------------------
@@ -257,10 +292,8 @@ def _bwd_kernel(
         # from the chunk to the right already includes its leading a factor.
         src = Cn * dy
         a_next = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
-        acr, g = _doubling_scan(jnp.flip(a_next, 0), jnp.flip(src, 0))
-        acr = jnp.flip(acr, 0)                 # prod_{i=l+1..end} a_i
-        g = jnp.flip(g, 0)
-        g = g + acr * g_carry[n:n + 1, :]
+        acr, g = _doubling_scan_rev(a_next, src)
+        g = g + acr * g_carry[n:n + 1, :]      # acr_l = prod_{i>l} a_i
 
         da = g * x_prev                        # dL/da_l
         ddelta = ddelta + da * An * a + g * u * Bn

@@ -1,0 +1,79 @@
+"""Selective-scan kernel micro-benchmark: pallas vs associative_scan on the
+real model shapes (stage L/D pairs of the 256^2 fusion model), fwd and
+fwd+bwd. Also cross-checks numerics between the two implementations on
+device. Use to choose the default impl and tune block sizes.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusionmamba_tpu.ops import selective_scan
+
+# (L, D) per stage at 256^2 input with stride-2 efficient scan; D = 2*dims
+STAGES = [(1024, 192), (256, 384), (64, 768), (16, 1536)]
+BATCH = 6
+K = 4
+N = 16
+
+
+def make_args(L, D, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal((BATCH, K, L, D)), jnp.float32)
+    dt = jnp.asarray(0.1 * rng.standard_normal((BATCH, K, L, D)),
+                     jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.uniform(0, 1.5, (K, D, N)), jnp.float32))
+    Bm = jnp.asarray(rng.standard_normal((BATCH, K, L, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((BATCH, K, L, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+    return u, dt, A, Bm, Cm, Dp, bias
+
+
+def timed(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bwd", action="store_true")
+    args = ap.parse_args()
+
+    for L, D in STAGES:
+        inputs = make_args(L, D)
+        results = {}
+        outs = {}
+        for impl in ("assoc", "pallas"):
+            fwd = jax.jit(lambda *a, impl=impl: selective_scan(
+                *a, delta_softplus=True, impl=impl))
+            t = timed(fwd, *inputs, iters=args.iters)
+            results[f"{impl}_fwd"] = t
+            outs[impl] = fwd(*inputs)
+            if args.bwd:
+                grad = jax.jit(jax.grad(
+                    lambda *a, impl=impl: jnp.sum(
+                        selective_scan(*a, delta_softplus=True, impl=impl)),
+                    argnums=(0, 1, 2, 3, 4, 5, 6)))
+                t = timed(grad, *inputs, iters=args.iters)
+                results[f"{impl}_fwdbwd"] = t
+        diff = float(jnp.max(jnp.abs(outs["assoc"] - outs["pallas"])))
+        elems = BATCH * K * L * D
+        line = f"L={L:5d} D={D:5d} maxdiff={diff:.2e} "
+        for k, v in results.items():
+            line += f"{k}={v*1e3:8.3f}ms ({elems/v/1e9:6.2f} Gelem/s)  "
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
