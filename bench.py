@@ -55,15 +55,17 @@ def main():
     train_step = make_fusion_train_step(model)
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile; NOTE: on tunneled backends block_until_ready can
+    # return early, so synchronize by fetching a metric VALUE -- the chained
+    # state dependency then guarantees every step finished
     state, metrics = train_step(state, x1, x2, key)
-    jax.block_until_ready(metrics)
+    float(metrics["loss_total"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = train_step(state, x1, x2,
                                     jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
+    float(metrics["loss_total"])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * steps / dt

@@ -29,13 +29,28 @@ def _gaussian_window(size: int, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _depthwise_valid(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise VALID conv with the (separable) Gaussian window.
+
+    Runs as two 1-D passes -- the outer-product window factors exactly, and
+    separable depthwise convs lower ~10x better on TPU than the full k*k
+    tap set (the torch reference convolves the 2-D window directly)."""
     c = x.shape[-1]
-    k = jnp.broadcast_to(win[:, :, None, None], win.shape + (1, c))
+    k = win.shape[0]
+    # factor exactly: win[i, j] = gi[i] * gi[j] (rank-1 by construction),
+    # so gi = win[:, m] / sqrt(win[m, m]) for any column m
+    m = k // 2
+    gi = win[:, m] / jnp.sqrt(win[m, m])
+    kv = gi.reshape(k, 1, 1, 1)
+    kh = gi.reshape(1, k, 1, 1)
+    kv = jnp.broadcast_to(kv, (k, 1, 1, c))
+    kh = jnp.broadcast_to(kh, (1, k, 1, c))
+    opts = dict(feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+    x = jax.lax.conv_general_dilated(
+        x, kv, window_strides=(1, 1), padding="VALID", **opts)
     return jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="VALID",
-        feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        x, kh, window_strides=(1, 1), padding="VALID", **opts)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,

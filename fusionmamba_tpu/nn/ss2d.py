@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import efficient_merge, efficient_scan, selective_scan
+from ..ops.dwconv_pallas import depthwise_conv3x3
 from .initializers import (
     a_log_s4d,
     dt_proj_bias,
@@ -33,6 +34,23 @@ from .initializers import (
 )
 
 K_DIRS = 4
+
+
+class DepthwiseConv2d(nn.Module):
+    """Depthwise 3x3 SAME conv via the Pallas kernel (XLA's depthwise
+    lowering is ~100x off VPU peak -- ops/dwconv_pallas.py). Parameter
+    layout matches nn.Conv's HWIO (3, 3, 1, C) so checkpoints are
+    interchangeable."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", torch_conv_kernel(),
+                       (3, 3, 1, self.features))
+        b = (self.param("bias", torch_conv_bias(9), (self.features,))
+             if self.use_bias else None)
+        return depthwise_conv3x3(x, k[:, :, 0, :], b)
 
 
 class _SSMCore(nn.Module):
@@ -102,12 +120,8 @@ class SS2D(_SSMCore):
                       kernel_init=trunc_normal(0.02), name="in_proj")(x)
         xpart, z = jnp.split(xz, 2, axis=-1)
         z = jax.nn.silu(z)
-        xpart = nn.Conv(
-            d_exp, (self.d_conv, self.d_conv), padding="SAME",
-            feature_group_count=d_exp, use_bias=self.conv_bias,
-            kernel_init=torch_conv_kernel(),
-            bias_init=torch_conv_bias(self.d_conv * self.d_conv),
-            name="conv2d")(xpart)
+        xpart = DepthwiseConv2d(d_exp, use_bias=self.conv_bias,
+                                name="conv2d")(xpart)
         xpart = jax.nn.silu(xpart)
         y = self.scan(xpart)
         y = y * z
@@ -139,12 +153,8 @@ class SS2DCross(_SSMCore):
         z1 = jax.nn.silu(z1)
         z2 = jax.nn.silu(z1)
 
-        conv = nn.Conv(
-            d_exp, (self.d_conv, self.d_conv), padding="SAME",
-            feature_group_count=d_exp, use_bias=self.conv_bias,
-            kernel_init=torch_conv_kernel(),
-            bias_init=torch_conv_bias(self.d_conv * self.d_conv),
-            name="conv2d")  # shared across modalities (`:1212-1213`)
+        conv = DepthwiseConv2d(d_exp, use_bias=self.conv_bias,
+                               name="conv2d")  # shared (`:1212-1213`)
         x1p = jax.nn.silu(conv(x1p))
         x2p = jax.nn.silu(conv(x2p))
 

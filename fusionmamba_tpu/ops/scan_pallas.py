@@ -5,22 +5,33 @@ TPU-native re-design of the reference CUDA extension
 
 * the CUDA kernel assigns one thread-block per (batch, dim) row and runs a CUB
   `BlockScan` over time with a chunk-and-carry structure (chunk 2048,
-  `selective_scan.cpp:447`). Here the grid is (B, K, D-blocks, L-chunks) with
-  the L axis innermost, the inter-chunk carry lives in a VMEM scratch that
-  persists across sequential grid steps, and the intra-chunk scan is a
-  Hillis-Steele doubling scan vectorized over (L on sublanes, D on lanes).
+  `selective_scan.cpp:447`). Here the (batch, direction) axes are folded and
+  *tiled* into each grid cell (T pairs per cell, budget-chosen) so the deep
+  stages -- short sequences, wide channels -- amortize per-cell overhead; the
+  grid is (BK-tiles, D-blocks, L-chunks) with L innermost and the inter-chunk
+  carry in a VMEM scratch persisting across sequential grid steps.
+* the state dim N is flattened into lanes (n-major within each D-block), so
+  the intra-chunk work is ONE wide Hillis-Steele doubling scan over
+  (T, L_CHUNK, N*D_BLK) instead of N narrow ones -- ~16x fewer vector-op
+  issues at identical math. The carry is a single flat row (T, 1, N*D_BLK);
+  expansion/reduction between (.., D_BLK) and (.., N*D_BLK) uses lane
+  concatenates of fresh full-width values and static lane slices only
+  (Mosaic rejects sublane concats of lane-offset slices and dynamic_slice
+  on values).
 * the CUDA backward uses a custom `BlockReverseScan` plus atomicAdds for
   dA/dD/ddelta_bias (`selective_scan_bwd_kernel.cuh:26-72`). TPUs have no
-  atomics, so the backward kernel re-associates those reductions into
-  per-(batch, k) partials accumulated in the resident output block while the
-  L grid axis iterates, then XLA sums the small partials outside the kernel.
+  atomics, so the backward accumulates dA/dD/dbias into resident output
+  blocks while the L grid axis iterates and emits per-(bk, d-block) partials
+  for dB/dC; XLA sums the small partials outside. The adjoint reverse scan
+  is a shift-UP doubling scan (Mosaic cannot lower lax.rev).
 * forward saves only the per-chunk incoming states (the `x` tensor of the
-  CUDA ABI, `selective_scan.cpp:307-313`); the backward recomputes intra-chunk
-  states from them, exactly the CUDA recompute strategy.
+  CUDA ABI, `selective_scan.cpp:307-313`), in the flat-lane layout; the
+  backward recomputes intra-chunk states from them. Forward and backward
+  MUST agree on l_chunk (the carry contract); the BK tile T may differ.
 
-Layouts (channels-last, time on sublanes, channels on lanes):
+Public layouts (channels-last):
     u, delta : (B, K, L, D)
-    A        : (K, D, N)   (transposed to (K, N, D) before entering the kernel)
+    A        : (K, D, N)
     Bmat/Cmat: (B, K, L, N)
     D, delta_bias : (K, D)
 All math float32.
@@ -35,10 +46,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# element budgets bounding the scoped VMEM stack; the dominant live buffers
+# are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; 16 MB VMEM)
+_FWD_ELEM_BUDGET = 256 * 1024
+_BWD_ELEM_BUDGET = 128 * 1024
+
 
 class _BlockCfg(NamedTuple):
     d_blk: int
     l_chunk: int
+    t_fwd: int
+    t_bwd: int
     n_dblk: int
     n_lchunk: int
 
@@ -54,45 +72,51 @@ def _largest_divisor_leq(n: int, cap: int, prefer_multiple: int = 128) -> int:
     return best
 
 
-def _pick_blocks(L: int, D: int, d_cap: int = 256,
+def _pick_blocks(L: int, D: int, BK: int, N: int = 16, d_cap: int = 256,
                  l_cap: int = 256) -> _BlockCfg:
-    """Forward and backward MUST agree on l_chunk (the backward consumes the
-    forward's per-chunk carries), and the backward keeps ~3x more live
-    (L_CHUNK, D_BLK) buffers (recomputed states, adjoint scan, gradient
-    accumulators) -- l_cap 256 keeps its scoped-VMEM stack under the 16 MB
-    limit at D_BLK 256."""
     d_blk = _largest_divisor_leq(D, d_cap)
     l_chunk = _largest_divisor_leq(L, l_cap, prefer_multiple=8)
-    return _BlockCfg(d_blk, l_chunk, D // d_blk, L // l_chunk)
+    cell = l_chunk * d_blk * N  # flat-lane width times chunk
+
+    def pick_t(budget):
+        t = 1
+        for cand in range(BK, 0, -1):
+            if BK % cand == 0 and cand * cell <= budget:
+                t = cand
+                break
+        return t
+
+    return _BlockCfg(d_blk, l_chunk, pick_t(_FWD_ELEM_BUDGET),
+                     pick_t(_BWD_ELEM_BUDGET), D // d_blk, L // l_chunk)
 
 
 def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
-    """Shift rows (time axis 0) down by s; top s rows become `fill`."""
-    L = x.shape[0]
+    """Shift rows (time axis -2) down by s; top s rows become `fill`."""
+    L = x.shape[-2]
     if s >= L:
         return jnp.full_like(x, fill)
-    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
-    return jnp.concatenate([pad, x[: L - s]], axis=0)
+    pad = jnp.full(x.shape[:-2] + (s, x.shape[-1]), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., : L - s, :]], axis=-2)
 
 
 def _shift_up(x: jax.Array, s: int, fill: float) -> jax.Array:
-    """Shift rows (time axis 0) up by s; bottom s rows become `fill`."""
-    L = x.shape[0]
+    """Shift rows (time axis -2) up by s; bottom s rows become `fill`."""
+    L = x.shape[-2]
     if s >= L:
         return jnp.full_like(x, fill)
-    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
-    return jnp.concatenate([x[s:], pad], axis=0)
+    pad = jnp.full(x.shape[:-2] + (s, x.shape[-1]), fill, x.dtype)
+    return jnp.concatenate([x[..., s:, :], pad], axis=-2)
 
 
 def _doubling_scan(a: jax.Array, b: jax.Array):
-    """Inclusive scan of x_l = a_l x_{l-1} + b_l with x_{-1}=0 along axis 0.
+    """Inclusive scan of x_l = a_l x_{l-1} + b_l with x_{-1}=0 along axis -2.
 
     Returns (a_cum, x): a_cum_l = prod_{i<=l} a_i (used to inject the incoming
     carry), x the zero-init scan. Log-depth Hillis-Steele over the SSM monoid
     (a1,b1)*(a2,b2) = (a1*a2, a2*b1+b2)
     (reference: `selective_scan/selective_scan_common.h:108-130`).
     """
-    L = a.shape[0]
+    L = a.shape[-2]
     s = 1
     while s < L:
         a_sh = _shift_down(a, s, 1.0)
@@ -105,14 +129,12 @@ def _doubling_scan(a: jax.Array, b: jax.Array):
 
 def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
     """Reverse inclusive scan r_l = b_l + a_next_l * r_{l+1}, r_L = 0, along
-    axis 0 -- the adjoint recurrence. Shift-UP doubling (Mosaic cannot lower
-    lax.rev, so no flips): the composed operator over (l, l+s] satisfies
-    X <- X + A * up(X), A <- A * up(A).
+    axis -2 -- the adjoint recurrence, via shift-UP doubling (no lax.rev).
 
     Returns (a_cum_rev, r): a_cum_rev_l = prod_{i=l..L-1} a_next_i (the
     coefficient for injecting the right-side carry), r the zero-init scan.
     """
-    L = a_next.shape[0]
+    L = a_next.shape[-2]
     s = 1
     while s < L:
         a_sh = _shift_up(a_next, s, 1.0)
@@ -133,101 +155,105 @@ def _fwd_kernel(
     h_carry,
     *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
 ):
-    l_idx = pl.program_id(3)
+    l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
-    delta = dt_ref[0, 0]                       # (L_CHUNK, D_BLK)
+    delta = dt_ref[:]                          # (T, L_CHUNK, D_BLK)
     if has_bias:
-        delta = delta + bias_ref[0]            # (1, D_BLK) broadcast
+        delta = delta + bias_ref[:]            # (T, 1, D_BLK)
     if delta_softplus:
         delta = jax.nn.softplus(delta)
-    u = u_ref[0, 0]
+    u = u_ref[:]
     du = delta * u
 
-    # save the incoming carry for the backward recompute
-    hsave_ref[0, 0, 0] = h_carry[:]
+    # save the incoming flat carry row for the backward recompute
+    hsave_ref[:, 0, 0] = h_carry[:]
+
+    At = At_ref[:]                             # (T, N, D_BLK)
+    Bc = B_ref[:]                              # (T, L_CHUNK, N)
+    Cc = C_ref[:]
+    d_blk = delta.shape[-1]
+
+    a = jnp.exp(jnp.concatenate(
+        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+    b = jnp.concatenate(
+        [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+    a_cum, x = _doubling_scan(a, b)            # (T, L_CHUNK, N*D_BLK)
+    x = x + a_cum * h_carry[:, 0:1, :]         # inject flat carry row
+    h_carry[:, 0:1, :] = x[:, -1:, :]
 
     if has_D:
-        y = u * D_ref[0]
+        y = u * D_ref[:]
     else:
         y = jnp.zeros_like(u)
-
-    At = At_ref[0]                             # (N, D_BLK)
-    Bc = B_ref[0, 0]                           # (L_CHUNK, N)
-    Cc = C_ref[0, 0]                           # (L_CHUNK, N)
-
-    # N is unrolled: Mosaic does not lower dynamic_slice on values, and the
-    # per-n column slices of B/C are static lane slices when unrolled
-    new_carry = []
     for n in range(N):
-        a = jnp.exp(delta * At[n:n + 1, :])    # (L_CHUNK, D_BLK)
-        b = du * Bc[:, n:n + 1]
-        a_cum, x = _doubling_scan(a, b)
-        x = x + a_cum * h_carry[n:n + 1, :]
-        y = y + Cc[:, n:n + 1] * x
-        new_carry.append(x[-1:, :])
-    h_carry[:] = jnp.concatenate(new_carry, axis=0)
-    out_ref[0, 0] = y
+        sl = slice(n * d_blk, (n + 1) * d_blk)
+        y = y + Cc[:, :, n:n + 1] * x[:, :, sl]
+    out_ref[:] = y
 
 
-def _fwd_pallas(u, delta, At, Bmat, Cmat, Dp, bias, delta_softplus, cfg,
-                interpret):
-    batch, K, L, dim = u.shape
-    N = At.shape[1]
-    has_D = Dp is not None
-    has_bias = bias is not None
+def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
+                cfg, interpret):
+    """Inputs in BK-folded layouts: u/delta (BK, L, D), At_bk (BK, N, D),
+    B/C (BK, L, N), Dp_bk/bias_bk (BK, 1, D)."""
+    BK, L, dim = u.shape
+    N = At_bk.shape[1]
+    T = cfg.t_fwd
+    flat = N * cfg.d_blk
 
-    grid = (batch, K, cfg.n_dblk, cfg.n_lchunk)
+    grid = (BK // T, cfg.n_dblk, cfg.n_lchunk)
 
-    def _bkld(b, k, d, l):
-        return (b, k, l, d)
+    def _xld(bk, d, l):
+        return (bk, l, d)
 
     in_specs = [
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, N, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, N), lambda b, k, d, l: (b, k, l, 0),
+        pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, l, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, N), lambda b, k, d, l: (b, k, l, 0),
+        pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, l, 0),
                      memory_space=pltpu.VMEM),
-        # D / bias carry a singleton row axis so the block's trailing two
-        # dims satisfy the Mosaic (8, 128)-or-full-dim constraint
-        pl.BlockSpec((1, 1, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, N, cfg.d_blk),
-                     lambda b, k, d, l: (b, k, l, 0, d), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 1, 1, 1, flat),
+                     lambda bk, d, l: (bk, d, l, 0, 0),
+                     memory_space=pltpu.VMEM),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((batch, K, L, dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, cfg.n_lchunk, N, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, cfg.n_dblk, cfg.n_lchunk, 1, flat),
+                             jnp.float32),
     )
-
-    Dp_in = (Dp if has_D else jnp.zeros((K, dim), jnp.float32))[:, None, :]
-    bias_in = (bias if has_bias
-               else jnp.zeros((K, dim), jnp.float32))[:, None, :]
 
     kernel = functools.partial(
         _fwd_kernel, N=N, delta_softplus=delta_softplus,
-        has_D=has_D, has_bias=has_bias,
+        has_D=Dp_bk is not None, has_bias=bias_bk is not None,
     )
+    zeros = jnp.zeros((BK, 1, dim), jnp.float32)
     out, hsave = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((N, cfg.d_blk), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((T, 1, flat), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u, delta, At, Bmat, Cmat, Dp_in, bias_in)
+    )(u, delta, At_bk,
+      Bmat, Cmat,
+      Dp_bk if Dp_bk is not None else zeros,
+      bias_bk if bias_bk is not None else zeros)
     return out, hsave
 
 
@@ -241,199 +267,241 @@ def _bwd_kernel(
     g_carry,
     *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
 ):
-    l_idx = pl.program_id(3)
+    l_idx = pl.program_id(2)
     is_first_step = l_idx == 0  # maps to the LAST chunk (grid runs L reversed)
 
     @pl.when(is_first_step)
     def _():
         g_carry[:] = jnp.zeros_like(g_carry)
-        dA_ref[0, 0] = jnp.zeros_like(dA_ref[0, 0])
-        dD_ref[0, 0] = jnp.zeros_like(dD_ref[0, 0])
-        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dD_ref[:] = jnp.zeros_like(dD_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    delta_raw = dt_ref[0, 0]
+    delta_raw = dt_ref[:]                      # (T, L_CHUNK, D_BLK)
     if has_bias:
-        delta_raw = delta_raw + bias_ref[0]
+        delta_raw = delta_raw + bias_ref[:]
     if delta_softplus:
         delta = jax.nn.softplus(delta_raw)
     else:
         delta = delta_raw
-    u = u_ref[0, 0]
-    dy = dy_ref[0, 0]
+    u = u_ref[:]
+    dy = dy_ref[:]
     du_t = delta * u
 
-    At = At_ref[0]                             # (N, D_BLK)
-    Bc = B_ref[0, 0]                           # (L_CHUNK, N)
-    Cc = C_ref[0, 0]                           # (L_CHUNK, N)
-    h0s = hsave_ref[0, 0, 0]                   # (N, D_BLK)
+    At = At_ref[:]                             # (T, N, D_BLK)
+    Bc = B_ref[:]                              # (T, L_CHUNK, N)
+    Cc = C_ref[:]
+    d_blk = delta.shape[-1]
+
+    # recompute forward states within the chunk from the saved flat carry
+    a = jnp.exp(jnp.concatenate(
+        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+    b = jnp.concatenate(
+        [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+    a_cum, x = _doubling_scan(a, b)
+    h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
+    x = x + a_cum * h0_flat                    # h_l for l in chunk
+    x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
+
+    # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}; the carry from
+    # the chunk to the right already includes its leading a factor.
+    src = jnp.concatenate(
+        [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+    a_next = jnp.concatenate(
+        [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+    acr, g = _doubling_scan_rev(a_next, src)
+    g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
+    g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
+
+    da = g * x_prev                            # dL/da_l
+    daa = da * a
 
     if has_D:
-        du_acc = dy * D_ref[0]
-        dD_ref[0, 0] += jnp.sum(dy * u, axis=0, keepdims=True)
+        du_acc = dy * D_ref[:]
+        dD_ref[:] += jnp.sum(dy * u, axis=1, keepdims=True)
     else:
         du_acc = jnp.zeros_like(u)
     ddelta = jnp.zeros_like(delta)
-    dA_rows, dB_cols, dC_cols, new_g_carry = [], [], [], []
-
-    # N unrolled (see forward kernel note)
+    # per-state-n loop; all concatenates below take FRESH computed values --
+    # Mosaic rejects concats whose operands are raw slices carrying a
+    # sublane/lane offset ("result/input offset mismatch on non-concat
+    # dimension"), which is also why ddelta's A term is computed per-n
+    # instead of against a concatenated A row.
+    dA_parts, dB_parts, dC_parts = [], [], []
     for n in range(N):
-        An = At[n:n + 1, :]                    # (1, D_BLK)
-        Bn = Bc[:, n:n + 1]                    # (L_CHUNK, 1)
-        Cn = Cc[:, n:n + 1]
-        a = jnp.exp(delta * An)                # (L_CHUNK, D_BLK)
-        b = du_t * Bn
-        # recompute forward states within the chunk from the saved carry
-        h0 = h0s[n:n + 1, :]                   # (1, D_BLK)
-        a_cum, x = _doubling_scan(a, b)
-        x = x + a_cum * h0                     # h_l for l in chunk
-        x_prev = jnp.concatenate([h0, x[:-1]], axis=0)  # h_{l-1}
-
-        # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}; the carry
-        # from the chunk to the right already includes its leading a factor.
-        src = Cn * dy
-        a_next = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
-        acr, g = _doubling_scan_rev(a_next, src)
-        g = g + acr * g_carry[n:n + 1, :]      # acr_l = prod_{i>l} a_i
-
-        da = g * x_prev                        # dL/da_l
-        ddelta = ddelta + da * An * a + g * u * Bn
-        du_acc = du_acc + g * delta * Bn
-        dA_rows.append(jnp.sum(da * delta * a, axis=0, keepdims=True))
-        dB_cols.append(jnp.sum(g * du_t, axis=1, keepdims=True))
-        dC_cols.append(jnp.sum(x * dy, axis=1, keepdims=True))
-        new_g_carry.append(a[:1, :] * g[:1, :])
-
-    g_carry[:] = jnp.concatenate(new_g_carry, axis=0)
-    dA_ref[0, 0] += jnp.concatenate(dA_rows, axis=0)       # (N, D_BLK)
-    dB_acc = jnp.concatenate(dB_cols, axis=1)              # (L_CHUNK, N)
-    dC_acc = jnp.concatenate(dC_cols, axis=1)
+        sl = slice(n * d_blk, (n + 1) * d_blk)
+        gn = g[:, :, sl]
+        Bn = Bc[:, :, n:n + 1]
+        daan = daa[:, :, sl]
+        ddelta = ddelta + daan * At[:, n:n + 1, :] + gn * u * Bn
+        du_acc = du_acc + gn * delta * Bn
+        dA_parts.append(jnp.sum(daan * delta, axis=1, keepdims=True))
+        dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
+        dC_parts.append(jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
+    dA_ref[:, :, 0] += jnp.concatenate(dA_parts, axis=-1)
+    dB_ref[:, 0] = jnp.concatenate(dB_parts, axis=-1)
+    dC_ref[:, 0] = jnp.concatenate(dC_parts, axis=-1)
 
     if delta_softplus:
         ddelta = ddelta * jax.nn.sigmoid(delta_raw)
     if has_bias:
-        dbias_ref[0, 0] += jnp.sum(ddelta, axis=0, keepdims=True)
-    du_ref[0, 0] = du_acc
-    ddt_ref[0, 0] = ddelta
-    dB_ref[0, 0, 0] = dB_acc                               # (L_CHUNK, N)
-    dC_ref[0, 0, 0] = dC_acc
+        dbias_ref[:] += jnp.sum(ddelta, axis=1, keepdims=True)
+    du_ref[:] = du_acc
+    ddt_ref[:] = ddelta
 
 
 def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
-    (u, delta, At, Bmat, Cmat, Dp, bias, hsave) = res
-    batch, K, L, dim = u.shape
-    N = At.shape[1]
-    has_D = Dp is not None
-    has_bias = bias is not None
+    (u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, hsave) = res
+    BK, L, dim = u.shape
+    N = At_bk.shape[1]
+    T = cfg.t_bwd
+    flat = N * cfg.d_blk
+    has_D = Dp_bk is not None
+    has_bias = bias_bk is not None
 
-    grid = (batch, K, cfg.n_dblk, cfg.n_lchunk)
+    grid = (BK // T, cfg.n_dblk, cfg.n_lchunk)
 
     def _rl(l):
         return cfg.n_lchunk - 1 - l
 
-    def _bkld(b, k, d, l):
-        return (b, k, _rl(l), d)
+    def _xld(bk, d, l):
+        return (bk, _rl(l), d)
 
     in_specs = [
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, N, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, N), lambda b, k, d, l: (b, k, _rl(l), 0),
+        pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, _rl(l), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, N), lambda b, k, d, l: (b, k, _rl(l), 0),
+        pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, _rl(l), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.d_blk), lambda b, k, d, l: (k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, N, cfg.d_blk),
-                     lambda b, k, d, l: (b, k, _rl(l), 0, d),
+        pl.BlockSpec((T, 1, 1, 1, flat),
+                     lambda bk, d, l: (bk, d, _rl(l), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.l_chunk, cfg.d_blk), _bkld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N, cfg.d_blk), lambda b, k, d, l: (b, k, 0, d),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 1, 1, flat), lambda bk, d, l: (bk, d, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, cfg.l_chunk, N),
-                     lambda b, k, d, l: (b, k, d, _rl(l), 0),
+        pl.BlockSpec((T, 1, cfg.l_chunk, N),
+                     lambda bk, d, l: (bk, d, _rl(l), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, cfg.l_chunk, N),
-                     lambda b, k, d, l: (b, k, d, _rl(l), 0),
+        pl.BlockSpec((T, 1, cfg.l_chunk, N),
+                     lambda bk, d, l: (bk, d, _rl(l), 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, cfg.d_blk), lambda b, k, d, l: (b, k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, cfg.d_blk), lambda b, k, d, l: (b, k, 0, d),
+        pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((batch, K, L, dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, L, dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, N, dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, cfg.n_dblk, L, N), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, cfg.n_dblk, L, N), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, 1, dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, K, 1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, cfg.n_dblk, 1, flat), jnp.float32),
+        jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
+        jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
+        jax.ShapeDtypeStruct((BK, 1, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, 1, dim), jnp.float32),
     )
-
-    Dp_in = (Dp if has_D else jnp.zeros((K, dim), jnp.float32))[:, None, :]
-    bias_in = (bias if has_bias
-               else jnp.zeros((K, dim), jnp.float32))[:, None, :]
 
     kernel = functools.partial(
         _bwd_kernel, N=N, delta_softplus=delta_softplus,
         has_D=has_D, has_bias=has_bias,
     )
+    zeros = jnp.zeros((BK, 1, dim), jnp.float32)
     du, ddt, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((N, cfg.d_blk), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((T, 1, flat), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u, delta, At, Bmat, Cmat, Dp_in, bias_in, hsave, dy)
+    )(u, delta, At_bk, Bmat, Cmat,
+      Dp_bk if has_D else zeros,
+      bias_bk if has_bias else zeros,
+      hsave, dy)
 
-    dAt = jnp.sum(dA_p, axis=0)                      # (K, N, dim)
-    dA = jnp.swapaxes(dAt, 1, 2)                     # (K, dim, N)
-    dB = jnp.sum(dB_p, axis=2)                       # (B, K, L, N)
-    dC = jnp.sum(dC_p, axis=2)
-    dD = jnp.sum(dD_p, axis=0)[:, 0] if has_D else None       # (K, dim)
-    dbias = jnp.sum(dbias_p, axis=0)[:, 0] if has_bias else None
-    return du, ddt, dA, dB, dC, dD, dbias
+    return du, ddt, dA_p, jnp.sum(dB_p, axis=1), jnp.sum(dC_p, axis=1), \
+        dD_p, dbias_p
 
 
 # ----------------------------------------------------------------------------
-# custom_vjp wrapper
+# custom_vjp wrapper (public (B, K, ...) layouts; BK folding inside)
 # ----------------------------------------------------------------------------
+
+def _fold(u, delta, A, Bmat, Cmat, Dp, bias):
+    B, K, L, dim = u.shape
+    BK = B * K
+    u_f = u.reshape(BK, L, dim)
+    dt_f = delta.reshape(BK, L, dim)
+    At = jnp.swapaxes(A, 1, 2)                         # (K, N, dim)
+    At_bk = jnp.broadcast_to(At[None], (B,) + At.shape).reshape(
+        BK, *At.shape[1:])
+    B_f = Bmat.reshape(BK, L, -1)
+    C_f = Cmat.reshape(BK, L, -1)
+    Dp_bk = None
+    bias_bk = None
+    if Dp is not None:
+        Dp_bk = jnp.broadcast_to(
+            Dp[None, :, None, :], (B, K, 1, dim)).reshape(BK, 1, dim)
+    if bias is not None:
+        bias_bk = jnp.broadcast_to(
+            bias[None, :, None, :], (B, K, 1, dim)).reshape(BK, 1, dim)
+    return u_f, dt_f, At_bk, B_f, C_f, Dp_bk, bias_bk
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _scan_pallas_core(u, delta, A, Bmat, Cmat, Dp, bias,
                       delta_softplus, interpret):
-    At = jnp.swapaxes(A, 1, 2)
-    out, _ = _fwd_pallas(
-        u, delta, At, Bmat, Cmat, Dp, bias, delta_softplus,
-        _pick_blocks(u.shape[2], u.shape[3]), interpret,
-    )
+    out, _ = _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias,
+                       delta_softplus, interpret)
     return out
 
 
 def _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, delta_softplus, interpret):
-    cfg = _pick_blocks(u.shape[2], u.shape[3])
-    At = jnp.swapaxes(A, 1, 2)
-    out, hsave = _fwd_pallas(
-        u, delta, At, Bmat, Cmat, Dp, bias, delta_softplus, cfg, interpret)
-    return out, (u, delta, At, Bmat, Cmat, Dp, bias, hsave)
+    B, K, L, dim = u.shape
+    N = A.shape[-1]
+    cfg = _pick_blocks(L, dim, B * K, N)
+    folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias)
+    out, hsave = _fwd_pallas(*folded, delta_softplus, cfg, interpret)
+    return out.reshape(B, K, L, dim), (folded, hsave, (B, K, L, dim))
 
 
 def _core_bwd(delta_softplus, interpret, res, dy):
-    cfg = _pick_blocks(res[0].shape[2], res[0].shape[3])
-    return _bwd_pallas(
-        res, dy, delta_softplus=delta_softplus, cfg=cfg, interpret=interpret)
+    folded, hsave, (B, K, L, dim) = res
+    N = folded[2].shape[1]
+    cfg = _pick_blocks(L, dim, B * K, N)
+    du, ddt, dA_p, dB, dC, dD_p, dbias_p = _bwd_pallas(
+        folded + (hsave,), dy.reshape(B * K, L, dim),
+        delta_softplus=delta_softplus, cfg=cfg, interpret=interpret)
+    has_D = folded[5] is not None
+    has_bias = folded[6] is not None
+    du = du.reshape(B, K, L, dim)
+    ddt = ddt.reshape(B, K, L, dim)
+    # dA_p: (BK, n_dblk, 1, N*d_blk) flat n-major within each d-block
+    dA = dA_p.reshape(B, K, cfg.n_dblk, N, cfg.d_blk).sum(axis=0)
+    dA = dA.transpose(0, 1, 3, 2).reshape(K, dim, N)
+    dB = dB.reshape(B, K, L, N)
+    dC = dC.reshape(B, K, L, N)
+    dD = dD_p.reshape(B, K, dim).sum(axis=0) if has_D else None
+    dbias = dbias_p.reshape(B, K, dim).sum(axis=0) if has_bias else None
+    return (du, ddt, dA, dB, dC, dD, dbias)
 
 
-_scan_pallas_core.defvjp(_core_fwd, _core_bwd)
+_scan_pallas_core.defvjp(
+    lambda *a: _core_fwd(*a),
+    _core_bwd,
+)
 
 
 def selective_scan_pallas(

@@ -25,12 +25,24 @@ from .scan_assoc import selective_scan_assoc
 from .scan_pallas import selective_scan_pallas
 from .scan_ref import selective_scan_ref
 
-_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret")
+_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "bypass")
 
 
-def _default_impl() -> str:
-    platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "assoc"
+def _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+                   return_last_state):
+    """Route per *lowering platform*, not per default backend: under the
+    axon tunnel jax.default_backend() is always 'tpu' even when the
+    computation targets a virtual CPU mesh (multichip dryrun), so the
+    decision must be made inside the lowered program."""
+    if return_last_state:  # pallas serves the no-last-state fast path only
+        return selective_scan_assoc(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, True)
+    return jax.lax.platform_dependent(
+        tpu=lambda: selective_scan_pallas(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False),
+        default=lambda: selective_scan_assoc(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False),
+    )
 
 
 def selective_scan(
@@ -48,7 +60,8 @@ def selective_scan(
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     if impl == "auto":
-        impl = _default_impl()
+        return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
+                              delta_softplus, return_last_state)
     if impl == "ref":
         return selective_scan_ref(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
@@ -57,6 +70,14 @@ def selective_scan(
         return selective_scan_assoc(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
             return_last_state)
+    if impl == "bypass":
+        # timing-ablation stub: correct shapes, no scan math (NOT a model)
+        out = u * 1.0001 + 0.0001 * jnp.sum(Bmat * Cmat, axis=-1,
+                                            keepdims=True)
+        if return_last_state:
+            N = A.shape[-1]
+            return out, jnp.zeros(u.shape[:2] + (u.shape[3], N), u.dtype)
+        return out
     if impl == "pallas_interpret":
         return selective_scan_pallas(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,

@@ -127,7 +127,9 @@ def test_multichunk_pallas_carry():
     # shrink chunk by monkeypatching the block picker
     from fusionmamba_tpu.ops import scan_pallas as sp
     orig = sp._pick_blocks
-    sp._pick_blocks = lambda L, D, d_cap=256, l_cap=16: orig(L, D, d_cap, 16)
+    sp._pick_blocks = (
+        lambda L, D, BK, N=16, d_cap=256, l_cap=16: orig(L, D, BK, N,
+                                                         d_cap, 16))
     try:
         want = golden_scan_np(u, delta, A, B, C, D, bias, True)
         got = selective_scan_pallas(
