@@ -14,22 +14,22 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .ssim import msssim
+from .ssim import msssim, sep_filter2d
 
-_SOBEL_X = jnp.asarray(
-    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32)
-_SOBEL_Y = jnp.asarray(
-    [[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]], jnp.float32)
+# Sobel factors exactly: sobel_x = [1,2,1]^T (rows/H) (x) [-1,0,1] (cols/W),
+# sobel_y = [1,0,-1]^T (x) [1,2,1] (`loss.py:15-31` convolves the 2-D taps)
+_SMOOTH = (1.0, 2.0, 1.0)
+_DIFF_X = (-1.0, 0.0, 1.0)
+_DIFF_Y = (1.0, 0.0, -1.0)
 
 
 def sobel_xy(x: jnp.ndarray) -> jnp.ndarray:
-    """|sobel_x| + |sobel_y| on NHWC single-channel, SAME padding."""
-    k = jnp.stack([_SOBEL_X, _SOBEL_Y], axis=-1)[:, :, None, :]  # (3,3,1,2)
-    g = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
-    return jnp.abs(g[..., :1]) + jnp.abs(g[..., 1:])
+    """|sobel_x| + |sobel_y| on NHWC single-channel, SAME (zero) padding,
+    as separable banded matmuls (single-channel depthwise convs waste
+    127/128 VPU lanes on TPU -- see `losses/ssim.py:_band_matrix`)."""
+    gx = sep_filter2d(x, _SMOOTH, _DIFF_X, same=True)
+    gy = sep_filter2d(x, _DIFF_Y, _SMOOTH, same=True)
+    return jnp.abs(gx) + jnp.abs(gy)
 
 
 class FusionLossOutput(NamedTuple):

@@ -13,44 +13,63 @@ Parity notes vs `pytorch_msssim/__init__.py`:
 """
 from __future__ import annotations
 
-import math
+import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def _gaussian_window(size: int, sigma: float = 1.5) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)
+@functools.lru_cache(maxsize=None)
+def _gaussian_vec(size: int, sigma: float = 1.5) -> tuple:
+    x = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return tuple((g / g.sum()).astype(np.float32))
 
 
-def _depthwise_valid(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise VALID conv with the (separable) Gaussian window.
+@functools.lru_cache(maxsize=None)
+def _band_matrix(taps: tuple, L: int, same: bool) -> np.ndarray:
+    """(L, L_out) banded conv-as-matmul matrix: y = x @ B applies the 1-D
+    filter `taps` along a length-L axis (VALID, or zero-padded SAME).
 
-    Runs as two 1-D passes -- the outer-product window factors exactly, and
-    separable depthwise convs lower ~10x better on TPU than the full k*k
-    tap set (the torch reference convolves the 2-D window directly)."""
-    c = x.shape[-1]
-    k = win.shape[0]
-    # factor exactly: win[i, j] = gi[i] * gi[j] (rank-1 by construction),
-    # so gi = win[:, m] / sqrt(win[m, m]) for any column m
-    m = k // 2
-    gi = win[:, m] / jnp.sqrt(win[m, m])
-    kv = gi.reshape(k, 1, 1, 1)
-    kh = gi.reshape(1, k, 1, 1)
-    kv = jnp.broadcast_to(kv, (k, 1, 1, c))
-    kh = jnp.broadcast_to(kh, (1, k, 1, c))
-    opts = dict(feature_group_count=c,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(
-        x, kv, window_strides=(1, 1), padding="VALID", **opts)
-    return jax.lax.conv_general_dilated(
-        x, kh, window_strides=(1, 1), padding="VALID", **opts)
+    Why a matmul: these filters run on single-channel images, where a
+    depthwise conv uses 1 of the VPU's 128 lanes; as a dense banded matmul
+    the same filter is one small MXU contraction (L <= 256 here), ~10x
+    faster and exactly autodifferentiable (the torch reference convolves a
+    2-D window per channel -- `pytorch_msssim/__init__.py:42-57`)."""
+    k = len(taps)
+    if same:
+        out = np.arange(L)
+        B = np.zeros((L, L), np.float32)
+        off = (k - 1) // 2
+        for t in range(k):
+            rows = out + t - off
+            ok = (rows >= 0) & (rows < L)
+            B[rows[ok], out[ok]] = taps[t]
+    else:
+        Lout = L - k + 1
+        out = np.arange(Lout)
+        B = np.zeros((L, Lout), np.float32)
+        for t in range(k):
+            B[out + t, out] = taps[t]
+    return B
+
+
+def sep_filter2d(x: jnp.ndarray, taps_h: tuple, taps_w: tuple,
+                 same: bool = False) -> jnp.ndarray:
+    """Separable 2-D filter on NHWC via two banded matmuls (fp32 MXU)."""
+    Bh = jnp.asarray(_band_matrix(taps_h, x.shape[1], same))
+    Bw = jnp.asarray(_band_matrix(taps_w, x.shape[2], same))
+    hp = jax.lax.Precision.HIGHEST  # sigma = E[x^2]-mu^2 cancels ~1e-3;
+    y = jnp.einsum("bhwc,hj->bjwc", x, Bh, precision=hp)
+    return jnp.einsum("bjwc,wk->bjkc", y, Bw, precision=hp)
+
+
+def _depthwise_valid(x: jnp.ndarray, gi: tuple) -> jnp.ndarray:
+    """Gaussian-window VALID smoothing (both axes) as banded matmuls."""
+    return sep_filter2d(x, gi, gi, same=False)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
@@ -64,7 +83,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
         L = jnp.float32(val_range)
 
     real_size = min(window_size, img1.shape[1], img1.shape[2])
-    win = _gaussian_window(real_size)
+    win = _gaussian_vec(real_size)
 
     mu1 = _depthwise_valid(img1, win)
     mu2 = _depthwise_valid(img2, win)

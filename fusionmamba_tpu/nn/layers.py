@@ -70,7 +70,8 @@ class LDC(nn.Module):
         theta = self.param(
             "learnable_theta", lambda key, shape: 0.5 * jnp.ones(shape),
             (1,))
-        center = jnp.zeros((k, k, 1, 1)).at[k // 2, k // 2, 0, 0].set(1.0)
+        center = jnp.zeros((k, k, 1, 1), w.dtype).at[
+            k // 2, k // 2, 0, 0].set(1.0)
         wsum = jnp.sum(w, axis=(0, 1), keepdims=True)   # (1,1,I,O)
         mask = 1.0 - theta * learnable_mask[None, None] * center * wsum
         eff_w = w * mask

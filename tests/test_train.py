@@ -1,0 +1,89 @@
+"""Train-step tests: fp32 vs bf16 mixed precision, fusion and segmentation.
+
+The reference trains full fp32 (`train.py:74-205`); the TPU-native default is
+bf16 activations with fp32 master params and an fp32 SSM scan. These tests
+pin: both precisions run, update params, and produce nearby losses.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fusionmamba_tpu.config import test_config
+from fusionmamba_tpu.models import VSSMFusion, VSSMFusionSeg
+from fusionmamba_tpu.train import (
+    SegTrainState,
+    TrainState,
+    make_fusion_optimizer,
+    make_fusion_train_step,
+    make_seg_optimizer,
+    make_seg_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def fusion_setup():
+    cfg = test_config(scan_impl="assoc")
+    model = VSSMFusion(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x1, x2)["params"]
+    return model, params, x1, x2
+
+
+def _run_step(model, params, x1, x2, dtype):
+    # the train step donates its state; copy so the shared fixture params
+    # survive across runs
+    params = jax.tree.map(jnp.copy, params)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_fusion_optimizer(1e-4))
+    step = make_fusion_train_step(model, compute_dtype=dtype)
+    new_state, metrics = step(state, x1, x2, jax.random.PRNGKey(1))
+    return new_state, metrics
+
+
+def test_fusion_train_step_fp32(fusion_setup):
+    model, params, x1, x2 = fusion_setup
+    state, metrics = _run_step(model, params, x1, x2, jnp.float32)
+    assert np.isfinite(float(metrics["loss_total"]))
+    # params moved and stayed fp32
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params, state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_fusion_train_step_bf16_matches_fp32(fusion_setup):
+    model, params, x1, x2 = fusion_setup
+    _, m32 = _run_step(model, params, x1, x2, jnp.float32)
+    state16, m16 = _run_step(model, params, x1, x2, jnp.bfloat16)
+    l32, l16 = float(m32["loss_total"]), float(m16["loss_total"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05, (l16, l32)
+    # master params remain fp32 under mixed precision
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state16.params))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_seg_train_step(dtype):
+    cfg = test_config(scan_impl="assoc", num_seg_classes=5)
+    model = VSSMFusionSeg(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, (2, 32, 32)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x1, x2)
+    state = SegTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_seg_optimizer(lr=5e-5))
+    step = make_seg_train_step(model, 5, mode="both", compute_dtype=dtype)
+    state, metrics = step(state, x1, x2, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    # batch_stats keep their init dtype across the mixed-precision update
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32

@@ -50,8 +50,16 @@ def main():
 
     fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
     t_fwd = timed(fwd, variables, x1, x2)
-    print(f"forward only:          {t_fwd*1e3:8.1f} ms "
+    print(f"forward only (fp32):   {t_fwd*1e3:8.1f} ms "
           f"({BATCH/t_fwd:6.1f} pairs/s)")
+
+    from fusionmamba_tpu.train.loop import cast_compute
+    fwd16 = jax.jit(lambda v, a, b: model.apply(
+        cast_compute(v, jnp.bfloat16), a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16)))
+    t_fwd16 = timed(fwd16, variables, x1, x2)
+    print(f"forward only (bf16):   {t_fwd16*1e3:8.1f} ms "
+          f"({BATCH/t_fwd16:6.1f} pairs/s)")
 
     loss_only = jax.jit(lambda a, b, g: fusion_loss(a, b, g).total)
     gen = fwd(variables, x1, x2)

@@ -25,6 +25,11 @@ def parse_args():
     ap.add_argument("--ckpt_dir", type=str, default="model_last/my_cross")
     ap.add_argument("--num_workers", "-j", type=int, default=0)
     ap.add_argument("--scan_impl", type=str, default="auto")
+    ap.add_argument("--precision", choices=["bf16", "fp32"], default="fp32",
+                    help="compute dtype for the train step (master params "
+                         "stay fp32; the SSM scan always runs fp32; fp32 is "
+                         "faster on v5e -- matmuls already use bf16 MXU "
+                         "passes, bf16 activations just add converts)")
     return ap.parse_args()
 
 
@@ -57,7 +62,9 @@ def train_fusion(args, dataset_name: str, logger):
 
     state = TrainState.create(apply_fn=model.apply, params=params,
                               tx=make_fusion_optimizer(1e-4))
-    train_step = make_fusion_train_step(model)
+    train_step = make_fusion_train_step(
+        model, compute_dtype=(jnp.bfloat16 if args.precision == "bf16"
+                              else jnp.float32))
 
     ds = FusionDataset(split="train", dataset_name=dataset_name)
     n_devices = jax.local_device_count()

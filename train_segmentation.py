@@ -33,6 +33,10 @@ def parse_args():
     ap.add_argument("--ckpt_dir", type=str, default="model_last/segmentation")
     ap.add_argument("--model", choices=["full", "tiny"], default="full")
     ap.add_argument("--scan_impl", type=str, default="auto")
+    ap.add_argument("--precision", choices=["bf16", "fp32"], default="fp32",
+                    help="compute dtype for the train step (master params "
+                         "stay fp32; the SSM scan always runs fp32; fp32 is "
+                         "faster on v5e -- see train/loop.py)")
     return ap.parse_args()
 
 
@@ -124,7 +128,9 @@ def main():
     train_step = make_seg_train_step(
         model, num_classes, mode=args.mode,
         fusion_weight=args.fusion_weight, seg_weight=args.seg_weight,
-        class_weights=class_weights, improved=improved)
+        class_weights=class_weights, improved=improved,
+        compute_dtype=(jnp.bfloat16 if args.precision == "bf16"
+                       else jnp.float32))
 
     steps_per_epoch = len(train_ds) // batch_size
     max_iter = steps_per_epoch * args.epochs
