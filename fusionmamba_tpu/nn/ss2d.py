@@ -22,7 +22,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import efficient_merge, efficient_scan, selective_scan
+from ..ops import (
+    cross_merge,
+    cross_scan,
+    efficient_merge,
+    efficient_scan,
+    selective_scan,
+)
 from ..ops.dwconv_pallas import depthwise_conv3x3
 from .initializers import (
     a_log_s4d,
@@ -60,6 +66,11 @@ class _SSMCore(nn.Module):
     ssm_ratio: float = 2.0
     dt_rank: int | None = None
     scan_impl: str = "auto"
+    # "efficient" = stride-2 decimated scan (reference forward_corev2, the
+    # live default -- `models/cross.py:709-722`); "fullres" = full-resolution
+    # 4-direction scan (reference forward_corev0 semantics,
+    # `models/vmamba_Fusion_efficross.py:391-429`)
+    scan_variant: str = "efficient"
 
     @property
     def d_inner(self) -> int:
@@ -87,7 +98,8 @@ class _SSMCore(nn.Module):
             "A_logs", a_log_s4d(N), (K_DIRS, D, N))
         Ds = self.param("Ds", nn.initializers.ones, (K_DIRS, D))
 
-        xs = efficient_scan(x)                       # (B, 4, L, D)
+        fullres = self.scan_variant == "fullres"
+        xs = cross_scan(x) if fullres else efficient_scan(x)  # (B, 4, L, D)
         x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
         dts = x_dbl[..., :R]
         Bs = x_dbl[..., R:R + N]
@@ -101,7 +113,8 @@ class _SSMCore(nn.Module):
             Ds.astype(jnp.float32), dt_projs_bias.astype(jnp.float32),
             delta_softplus=True, impl=self.scan_impl)  # (B, 4, L, D) fp32
 
-        y = efficient_merge(ys, H, W)                # (B, H, W, D)
+        y = (cross_merge(ys, H, W) if fullres
+             else efficient_merge(ys, H, W))         # (B, H, W, D)
         y = nn.LayerNorm(name="out_norm")(y)
         return y.astype(x.dtype)
 

@@ -115,3 +115,29 @@ def test_patch_merge_expand_shapes():
     ev = pe.init(jax.random.PRNGKey(1), y)
     z = pe.apply(ev, y)
     assert z.shape == (1, 8, 8, 4)
+
+
+def test_ss2d_fullres_variant():
+    """SS2D scan_variant='fullres' (reference forward_corev0 semantics,
+    `models/vmamba_Fusion_efficross.py:391-429`): shape-preserving, finite,
+    differentiable, and distinct from the stride-2 efficient variant."""
+    from fusionmamba_tpu.nn.ss2d import SS2D
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+    full = SS2D(d_model=8, d_state=4, scan_impl="assoc",
+                scan_variant="fullres")
+    eff = SS2D(d_model=8, d_state=4, scan_impl="assoc")
+    params = full.init(jax.random.PRNGKey(0), x)["params"]
+    y_full = full.apply({"params": params}, x)
+    y_eff = eff.apply({"params": params}, x)  # same param shapes/tree
+    assert y_full.shape == x.shape
+    assert np.isfinite(np.asarray(y_full)).all()
+    # at init the SSM state contribution is small (y ~ D*u after LayerNorm),
+    # so the two orderings differ by only ~1e-5 -- assert distinct, not far
+    assert float(jnp.max(jnp.abs(y_full - y_eff))) > 1e-7
+
+    g = jax.grad(lambda p: jnp.sum(
+        full.apply({"params": p}, x) ** 2))(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
