@@ -205,9 +205,12 @@ def export_torch_state_dict(params: Dict[str, Any], depths, depths_decoder,
     sd: Dict[str, np.ndarray] = {}
     for tk, fp, tr in fusion_key_map(depths, depths_decoder, prefix):
         sd[tk] = _BWD[tr](np.asarray(_get(params, fp)))
-    # constant buffers the reference persists
+    # constant buffers the reference persists: LDC modules carry a
+    # `base_mask` ones-buffer next to their conv (`models/cross.py:795-799`);
+    # eca's `.conv.weight` is a plain conv1d with no such buffer
     for tk in list(sd):
-        if tk.endswith(".conv.weight"):  # LDC conv -> sibling base_mask
+        if tk.endswith(".conv.weight") and (
+                "texture_enhance" in tk or "conv_branch" in tk):
             sd[tk[: -len(".conv.weight")] + ".base_mask"] = np.ones_like(
                 sd[tk])
     return sd

@@ -39,6 +39,7 @@ All math float32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -46,10 +47,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# time-axis shift strategy inside the doubling scans: "concat" builds
+# (pad ++ slice); "roll" uses the hardware sublane rotate + an iota mask.
+_SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
+
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
-# are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; 16 MB VMEM)
-_FWD_ELEM_BUDGET = 256 * 1024
-_BWD_ELEM_BUDGET = 128 * 1024
+# are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
+# pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
+_FWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_FWD_BUDGET", 256 * 1024))
+_BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 128 * 1024))
 
 
 class _BlockCfg(NamedTuple):
@@ -95,6 +101,10 @@ def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
     L = x.shape[-2]
     if s >= L:
         return jnp.full_like(x, fill)
+    if _SHIFT_IMPL == "roll":
+        r = pltpu.roll(x, s, axis=x.ndim - 2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+        return jnp.where(idx >= s, r, jnp.float32(fill))
     pad = jnp.full(x.shape[:-2] + (s, x.shape[-1]), fill, x.dtype)
     return jnp.concatenate([pad, x[..., : L - s, :]], axis=-2)
 
@@ -104,6 +114,11 @@ def _shift_up(x: jax.Array, s: int, fill: float) -> jax.Array:
     L = x.shape[-2]
     if s >= L:
         return jnp.full_like(x, fill)
+    if _SHIFT_IMPL == "roll":
+        # pltpu.roll requires shift >= 0: up-shift by s == circular L - s
+        r = pltpu.roll(x, L - s, axis=x.ndim - 2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+        return jnp.where(idx < L - s, r, jnp.float32(fill))
     pad = jnp.full(x.shape[:-2] + (s, x.shape[-1]), fill, x.dtype)
     return jnp.concatenate([x[..., s:, :], pad], axis=-2)
 

@@ -1,0 +1,118 @@
+"""Golden end-to-end parity: reference PyTorch VSSM_Fusion (CPU, eval) vs
+this framework's VSSMFusion with CONVERTED weights on the same inputs.
+
+This is the BASELINE.json north-star check (fused-image SSIM >= 0.999 vs
+reference outputs), run at tiny config so the reference's O(L) python-loop
+scan stub stays fast. Skipped when /root/reference is not mounted.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reference_harness import build_reference_fusion, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not available")
+
+DEPTHS = (1, 1)
+DEPTHS_DEC = (1, 1)
+DIMS = (16, 32)
+# must be 16: the reference's VSSLayer passes `d_state=` but VSSBlock_new's
+# kwarg is `ssm_d_state`, so the value is swallowed by **kwargs and encoder/
+# decoder SS2Ds ALWAYS run d_state=16 (`vmamba_Fusion_efficross.py:651-658`,
+# `cross.py:1297-1321`) -- 16 is the only block d_state any reference config
+# can produce
+D_STATE = 16
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    torch = pytest.importorskip("torch")
+    ref = build_reference_fusion(DEPTHS, DEPTHS_DEC, DIMS, D_STATE)
+
+    from fusionmamba_tpu.checkpoints.torch_import import (
+        convert_fusion_state_dict)
+    from fusionmamba_tpu.config import FusionModelConfig
+    from fusionmamba_tpu.models import VSSMFusion
+
+    params = convert_fusion_state_dict(
+        ref.state_dict(), DEPTHS, DEPTHS_DEC)
+    cfg = FusionModelConfig(depths=DEPTHS, depths_decoder=DEPTHS_DEC,
+                            dims=DIMS, d_state=D_STATE, drop_path_rate=0.0,
+                            scan_impl="ref")
+    model = VSSMFusion(cfg)
+
+    rng = np.random.default_rng(42)
+    x = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+    y = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(y.transpose(0, 3, 1, 2)))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    # pin to the host CPU backend: bit-comparable IEEE fp32 vs torch-CPU.
+    # On TPU the same graph lands ~5e-5 off per scan (transcendental and
+    # accumulation differences), which decoder LayerNorms over low-variance
+    # features amplify to ~7e-3 at the output -- hardware noise, not
+    # semantics (verified: jax-ref vs torch golden is 9.5e-7 on CPU).
+    with jax.default_device(jax.devices("cpu")[0]), \
+            jax.default_matmul_precision("float32"):
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                     jnp.asarray(y)))
+    return want, got
+
+
+def test_outputs_close(parity_pair):
+    """Quantile-based closeness: at random init the decoder LayerNorms are
+    ill-conditioned at isolated positions (per-position channel variance
+    ~1e-3 of scale), so ANY fp32 rounding difference -- ours vs torch, or
+    torch-CPU vs torch-GPU -- amplifies ~1000x at a handful of pixels
+    (verified: the pre-LN expand Linear matches to 3e-6 abs; the post-LN
+    output differs 1.3e-2 at those positions). Structural parity is gated
+    by the SSIM test; here we pin the bulk distribution."""
+    want, got = parity_pair
+    assert want.shape == got.shape
+    rel = np.abs(want - got) / np.abs(want).max()
+    assert np.median(rel) < 5e-4, np.median(rel)
+    assert np.quantile(rel, 0.99) < 5e-3, np.quantile(rel, 0.99)
+    assert rel.max() < 0.5, rel.max()
+
+
+def test_ssim_north_star(parity_pair):
+    """BASELINE.json: fused-image SSIM >= 0.999 vs reference outputs."""
+    from fusionmamba_tpu.losses.ssim import ssim
+
+    want, got = parity_pair
+    # min-max normalize both the way test.py emits images (`test.py:93`)
+    def norm(a):
+        return (a - a.min()) / (a.max() - a.min() + 1e-12)
+
+    val = float(ssim(jnp.asarray(norm(want)), jnp.asarray(norm(got)),
+                     val_range=1.0))
+    assert val >= 0.999, val
+
+
+def test_roundtrip_export(parity_pair):
+    """flax -> torch export loads strictly into the reference model."""
+    torch = pytest.importorskip("torch")
+    ref = build_reference_fusion(DEPTHS, DEPTHS_DEC, DIMS, D_STATE, seed=1)
+
+    from fusionmamba_tpu.checkpoints.torch_import import (
+        convert_fusion_state_dict, export_torch_state_dict)
+
+    params = convert_fusion_state_dict(ref.state_dict(), DEPTHS, DEPTHS_DEC)
+    sd = export_torch_state_dict(params, DEPTHS, DEPTHS_DEC)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    # anything missing must be buffers/params the reference never uses in
+    # forward (documented in torch_import.py)
+    allowed = ("base_mask", "Diff_enhance.lastconv", "lastconv")
+    bad = [k for k in missing if not any(a in k for a in allowed)]
+    assert not bad, bad

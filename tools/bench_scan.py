@@ -39,13 +39,19 @@ def make_args(L, D, seed=0):
     return u, dt, A, Bm, Cm, Dp, bias
 
 
+def fetch(out):
+    """block_until_ready can return early through the axon tunnel; fetching
+    a VALUE guarantees completion."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def timed(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,7 +59,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--bwd", action="store_true")
+    ap.add_argument("--chained", action="store_true",
+                    help="dependency-chained in-program repeats (amortizes "
+                         "the ~3 ms per-dispatch tunnel latency)")
+    ap.add_argument("--impl", type=str, default="pallas")
     args = ap.parse_args()
+    if args.chained:
+        main_chained(impl=args.impl, bwd=args.bwd)
+        return
 
     for L, D in STAGES:
         inputs = make_args(L, D)
@@ -78,6 +91,45 @@ def main():
         for k, v in results.items():
             line += f"{k}={v*1e3:8.3f}ms ({elems/v/1e9:6.2f} Gelem/s)  "
         print(line)
+
+
+
+
+def timed_chained(make_fn, inputs, reps=8, iters=5):
+    """Amortize per-dispatch tunnel latency (~3 ms) by chaining `reps`
+    dependent scan calls inside ONE jitted program."""
+    u, dt, A, Bm, Cm, Dp, bias = inputs
+
+    @jax.jit
+    def many(u, dt, A, Bm, Cm, Dp, bias):
+        acc = jnp.float32(0.0)
+        for _ in range(reps):
+            out = make_fn(u + acc * 1e-20, dt, A, Bm, Cm, Dp, bias)
+            acc = out if out.ndim == 0 else jnp.mean(out)
+        return acc
+
+    fetch(many(u, dt, A, Bm, Cm, Dp, bias))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = many(u, dt, A, Bm, Cm, Dp, bias)
+    fetch(out)
+    return (time.perf_counter() - t0) / (iters * reps)
+
+
+def main_chained(impl="pallas", bwd=False, stages=STAGES):
+    for L, D in stages:
+        inputs = make_args(L, D)
+        fwd_fn = lambda *a: selective_scan(*a, delta_softplus=True, impl=impl)
+        t_fwd = timed_chained(fwd_fn, inputs)
+        line = f"L={L:5d} D={D:5d} fwd={t_fwd*1e3:7.3f}ms"
+        if bwd:
+            grad_fn = lambda *a: jax.grad(
+                lambda *b: jnp.sum(selective_scan(
+                    *b, delta_softplus=True, impl=impl)),
+                argnums=(0, 1))(*a)[0].mean()
+            t_bwd = timed_chained(grad_fn, inputs)
+            line += f"  fwd+bwd={t_bwd*1e3:7.3f}ms"
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
