@@ -19,7 +19,7 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 15.8
 BATCH = 6
-STEPS = 10
+STEPS = 20  # all inside one dispatch (fori_loop) -- see run_n below
 
 
 def main():
@@ -48,24 +48,36 @@ def main():
     x1 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
     x2 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
 
+    import functools
+
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=make_fusion_optimizer(1e-4))
-    train_step = make_fusion_train_step(model)
+    raw_step = make_fusion_train_step(model, jit=False)
+
+    # run all measured steps inside ONE jitted fori_loop: a single device
+    # dispatch, so the measurement is on-device throughput (pairs/sec/chip)
+    # rather than per-step host->device dispatch latency, which through the
+    # tunneled backend is large and highly variable (measured 124-250 ms for
+    # the same 124 ms step across runs)
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+    def run_n(state, x1, x2, key, n):
+        def body(i, st):
+            st2, metrics = raw_step(st, x1, x2, jax.random.fold_in(key, i))
+            return st2
+        return jax.lax.fori_loop(0, n, body, state)
 
     key = jax.random.PRNGKey(1)
     # warmup / compile; NOTE: on tunneled backends block_until_ready can
-    # return early, so synchronize by fetching a metric VALUE -- the chained
-    # state dependency then guarantees every step finished
-    state, metrics = train_step(state, x1, x2, key)
-    float(metrics["loss_total"])
+    # return early, so synchronize by fetching a VALUE -- the chained state
+    # dependency then guarantees every step finished
+    state = run_n(state, x1, x2, key, steps)
+    float(jax.tree_util.tree_leaves(state.params)[0].reshape(-1)[0])
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = train_step(state, x1, x2,
-                                    jax.random.fold_in(key, i))
-    float(metrics["loss_total"])
+    state = run_n(state, x1, x2, jax.random.fold_in(key, 7), steps)
+    float(jax.tree_util.tree_leaves(state.params)[0].reshape(-1)[0])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * steps / dt

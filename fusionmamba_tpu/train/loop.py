@@ -79,7 +79,8 @@ def cast_compute(tree, dtype):
     return jax.tree.map(_cast, tree)
 
 
-def make_fusion_train_step(model, compute_dtype=jnp.float32) -> Callable:
+def make_fusion_train_step(model, compute_dtype=jnp.float32,
+                           jit: bool = True) -> Callable:
     """Returns jitted (state, vis_y, ir, rng) -> (state, metrics).
 
     compute_dtype: activations dtype inside the forward/backward. fp32 is
@@ -88,9 +89,11 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32) -> Callable:
     depthwise-conv kernels force fp32 internally -- so bf16 activations only
     insert convert ops around the kernels (measured 22.4 pairs/s bf16 vs
     31.6 fp32 on v5e). bf16 remains available for memory-bound scaling.
+
+    jit=False returns the raw traceable step (for embedding in a larger
+    jitted region, e.g. bench.py's multi-step fori_loop).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, vis_y, ir, rng):
         def loss_fn(params):
             gen = model.apply({"params": cast_compute(params, compute_dtype)},
@@ -113,6 +116,8 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32) -> Callable:
         }
         return state, metrics
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step
 
 
