@@ -11,7 +11,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -48,36 +52,32 @@ def main():
     x1 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
     x2 = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 1)), jnp.float32)
 
-    import functools
-
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=make_fusion_optimizer(1e-4))
-    raw_step = make_fusion_train_step(model, jit=False)
+    step = make_fusion_train_step(model)
 
-    # run all measured steps inside ONE jitted fori_loop: a single device
-    # dispatch, so the measurement is on-device throughput (pairs/sec/chip)
-    # rather than per-step host->device dispatch latency, which through the
-    # tunneled backend is large and highly variable (measured 124-250 ms for
-    # the same 124 ms step across runs)
-    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
-    def run_n(state, x1, x2, key, n):
-        def body(i, st):
-            st2, metrics = raw_step(st, x1, x2, jax.random.fold_in(key, i))
-            return st2
-        return jax.lax.fori_loop(0, n, body, state)
-
+    # Async chained dispatch: launch all steps back-to-back WITHOUT a
+    # per-step sync, then fetch one metric value at the end. The donated
+    # state dependency chains execution on device, dispatch overlaps
+    # execution, and the single final fetch adds one tunnel round trip
+    # amortized over `steps`. (A fori_loop single-dispatch variant measured
+    # 4x SLOWER per step -- XLA loses buffer donation across the loop-body
+    # carry and the whole train state double-buffers in HBM -- and per-step
+    # synced timing adds a 30-130 ms tunnel round trip to every step.)
     key = jax.random.PRNGKey(1)
-    # warmup / compile; NOTE: on tunneled backends block_until_ready can
-    # return early, so synchronize by fetching a VALUE -- the chained state
-    # dependency then guarantees every step finished
-    state = run_n(state, x1, x2, key, steps)
-    float(jax.tree_util.tree_leaves(state.params)[0].reshape(-1)[0])
+    # warmup / compile; on tunneled backends block_until_ready can return
+    # early, so synchronize by fetching a VALUE
+    state, m = step(state, x1, x2, key)
+    float(jnp.asarray(m["loss_total"]))
+    state, m = step(state, x1, x2, key)   # post-donation steady state
+    float(jnp.asarray(m["loss_total"]))
 
     t0 = time.perf_counter()
-    state = run_n(state, x1, x2, jax.random.fold_in(key, 7), steps)
-    float(jax.tree_util.tree_leaves(state.params)[0].reshape(-1)[0])
+    for i in range(steps):
+        state, m = step(state, x1, x2, jax.random.fold_in(key, i))
+    float(jnp.asarray(m["loss_total"]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * steps / dt

@@ -43,16 +43,18 @@ class VSSStage(nn.Module):
     norm_eps: float
     scan_impl: str
     downsample: bool
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        block_cls = _remat_block if self.remat else VSSBlock
         for i in range(self.depth):
-            x = VSSBlock(
+            x = block_cls(
                 dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
                 drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
                 scan_impl=self.scan_impl, name=f"block{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         if self.downsample:
             x = PatchMerging(self.dim, name="downsample")(x)
         return x
@@ -71,19 +73,26 @@ class VSSStageUp(nn.Module):
     norm_eps: float
     scan_impl: str
     upsample: bool
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.upsample:
             x = PatchExpand(self.dim, name="upsample")(x)
+        block_cls = _remat_block if self.remat else VSSBlock
         for i in range(self.depth):
-            x = VSSBlock(
+            x = block_cls(
                 dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
                 drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
                 scan_impl=self.scan_impl, name=f"block{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         return x
+
+
+# jax.checkpoint around each block: recompute its activations in the
+# backward instead of saving them (`deterministic` is static arg 2)
+_remat_block = nn.remat(VSSBlock, static_argnums=(2,))
 
 
 def _dpr_schedule(rate: float, depths: Sequence[int]):
@@ -119,7 +128,7 @@ class VSSMFusion(nn.Module):
         common = dict(
             d_state=c.d_state, ssm_ratio=c.ssm_ratio, mlp_ratio=c.mlp_ratio,
             attn_drop=c.attn_drop_rate, norm_eps=c.norm_eps,
-            scan_impl=c.scan_impl)
+            scan_impl=c.scan_impl, remat=c.remat)
         self.layers = [
             VSSStage(dim=dims[i], depth=c.depths[i], drop_paths=dpr[i],
                      downsample=(i < nl - 1), **common)
@@ -151,6 +160,22 @@ class VSSMFusion(nn.Module):
             x = layer(x, deterministic=deterministic)
         return x, skips
 
+    def encode_pair(self, x1, x2, deterministic=True):
+        """Run the SHARED encoder trunk once on both modalities batched
+        together (2B). The reference iterates `self.layers` twice with the
+        same weights (forward_features_1/2, `vmamba_Fusion_efficross.py:861-883`);
+        mathematically identical per-sample, but one 2B pass halves the
+        number of scan-kernel launches and doubles their size (the deep
+        stages are launch-bound at batch 6)."""
+        x = jnp.concatenate([self.patch_embed1(x1), self.patch_embed2(x2)],
+                            axis=0)
+        x = self.pos_drop(x, deterministic=deterministic)
+        skips = []
+        for layer in self.layers:
+            skips.append(x)
+            x = layer(x, deterministic=deterministic)
+        return x, skips  # concatenated (2B, ...) tensors
+
     def decode(self, x, fused_skips, deterministic=True):
         for i, layer_up in enumerate(self.layers_up):
             if i > 0:
@@ -162,12 +187,12 @@ class VSSMFusion(nn.Module):
         """Run the full network up to (and including) final_up; returns the
         (B, H, W, dims[0]//4) feature map the seg head and fusion head share
         (`vmamba_Fusion_efficross.py:1052-1060`)."""
-        e1, skips1 = self.encode(x1, self.patch_embed1, deterministic)
-        e2, skips2 = self.encode(x2, self.patch_embed2, deterministic)
+        ecat, skips = self.encode_pair(x1, x2, deterministic)
+        e1, e2 = jnp.split(ecat, 2, axis=0)
         x = e1 + e2
         fused = [
-            cross(s1, s2, deterministic=deterministic)
-            for cross, s1, s2 in zip(self.cross_blocks, skips1, skips2)
+            cross(*jnp.split(s, 2, axis=0), deterministic=deterministic)
+            for cross, s in zip(self.cross_blocks, skips)
         ]
         x = self.decode(x, fused, deterministic)
         return self.final_up(x)

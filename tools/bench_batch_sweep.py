@@ -33,14 +33,20 @@ def fetch(out):
 
 
 def main():
-    cfg = full_config()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--batches", type=int, nargs="+", default=[6, 12, 24, 48])
+    args = ap.parse_args()
+
+    cfg = full_config(remat=args.remat)
     model = VSSMFusion(cfg)
     rng = np.random.default_rng(0)
     x1_init = jnp.asarray(rng.uniform(0, 1, (1, SIZE, SIZE, 1)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1_init, x1_init)
     key = jax.random.PRNGKey(1)
 
-    for batch in (6, 12, 24, 48):
+    for batch in args.batches:
         x1 = jnp.asarray(rng.uniform(0, 1, (batch, SIZE, SIZE, 1)),
                          jnp.float32)
         x2 = jnp.asarray(rng.uniform(0, 1, (batch, SIZE, SIZE, 1)),

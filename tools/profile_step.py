@@ -1,0 +1,120 @@
+"""Profile the fusion train step on device and rank ops by total duration.
+
+Captures a perfetto trace (jax.profiler, create_perfetto_link=False) of a few
+train steps, then parses the trace.json.gz event stream and aggregates device
+op durations by fusion/op name. This replaces eyeballing tensorboard (not
+installed here) with a one-shot textual report.
+
+Usage: python tools/profile_step.py [--batch 6] [--dtype fp32|bf16]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fetch(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--logdir", default="/tmp/fm-profile")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    from fusionmamba_tpu.config import full_config
+    from fusionmamba_tpu.models import VSSMFusion
+    from fusionmamba_tpu.train import (
+        TrainState, make_fusion_optimizer, make_fusion_train_step)
+
+    cfg = full_config()
+    model = VSSMFusion(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=make_fusion_optimizer(1e-4))
+    compute = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
+    step = make_fusion_train_step(model, compute_dtype=compute)
+    key = jax.random.PRNGKey(1)
+
+    # warm up / compile outside the trace
+    state, m = step(state, x1, x2, key)
+    fetch(m)
+
+    os.system(f"rm -rf {args.logdir}")
+    jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
+    for i in range(args.steps):
+        state, m = step(state, x1, x2, jax.random.fold_in(key, i))
+    fetch(m)
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(
+        os.path.join(args.logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not traces:
+        print("no perfetto trace found under", args.logdir)
+        return
+    path = max(traces, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+
+    events = data["traceEvents"] if isinstance(data, dict) else data
+    # device-side complete events: pick pids whose process name mentions TPU
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "Device" in n or "/device" in n}
+
+    agg = defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        tname = tid_names.get((e.get("pid"), e.get("tid")), "")
+        # XLA op events live on "XLA Ops"-ish threads; steps/TraceMe on others
+        if tname and ("Steps" in tname or "Framework" in tname):
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        agg[name][0] += dur
+        agg[name][1] += 1
+        total += dur
+
+    print(f"trace: {path}")
+    print(f"pids: { {p: pid_names.get(p, '') for p in device_pids} }")
+    print(f"total device op time: {total:.1f} ms over {args.steps} steps "
+          f"=> {total/args.steps:.1f} ms/step")
+    print(f"{'ms/step':>9}  {'%':>5}  {'calls':>6}  name")
+    for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[
+            :args.top]:
+        print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {cnt:6d}  "
+              f"{name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
