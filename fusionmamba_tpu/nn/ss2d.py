@@ -106,12 +106,16 @@ class _SSMCore(nn.Module):
         Cs = x_dbl[..., R + N:]
         dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
 
+        # activations keep their dtype (bf16 under mixed precision -- every
+        # scan impl converts to fp32 INTERNALLY, matching the reference's
+        # fp32-in-kernel policy `models/cross.py:239-245`, and the Pallas
+        # kernel does the convert in VMEM so bf16 halves its HBM traffic);
+        # parameters A/D/bias always enter fp32
         As = -jnp.exp(A_logs.astype(jnp.float32))
         ys = selective_scan(
-            xs.astype(jnp.float32), dts.astype(jnp.float32), As,
-            Bs.astype(jnp.float32), Cs.astype(jnp.float32),
+            xs, dts, As, Bs, Cs,
             Ds.astype(jnp.float32), dt_projs_bias.astype(jnp.float32),
-            delta_softplus=True, impl=self.scan_impl)  # (B, 4, L, D) fp32
+            delta_softplus=True, impl=self.scan_impl)  # (B, 4, L, D)
 
         y = (cross_merge(ys, H, W) if fullres
              else efficient_merge(ys, H, W))         # (B, H, W, D)

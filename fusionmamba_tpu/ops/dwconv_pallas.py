@@ -59,7 +59,8 @@ def _shift2d(x: jax.Array, di: int, dj: int) -> jax.Array:
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, has_bias: bool):
-    x = x_ref[:]                    # (T, H, W, C_BLK)
+    # I/O may be bf16 (HBM-traffic halved); accumulate fp32 on the VPU
+    x = x_ref[:].astype(jnp.float32)        # (T, H, W, C_BLK)
     w = w_ref[:]                    # (1, 9, 1, C_BLK)
     acc = jnp.zeros_like(x)
     for di in (-1, 0, 1):
@@ -68,11 +69,11 @@ def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, has_bias: bool):
             acc = acc + _shift2d(x, di, dj) * tap[:, None]
     if has_bias:
         acc = acc + b_ref[:]
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _bwd_dx_kernel(w_ref, dy_ref, dx_ref):
-    dy = dy_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
     w = w_ref[:]
     dx = jnp.zeros_like(dy)
     for di in (-1, 0, 1):
@@ -80,7 +81,7 @@ def _bwd_dx_kernel(w_ref, dy_ref, dx_ref):
             tap = w[:, (di + 1) * 3 + (dj + 1)]
             # y[h] += x[h+di]*w  =>  dx[h+di] += dy[h]*w: shift dy by -di,-dj
             dx = dx + _shift2d(dy, -di, -dj) * tap[:, None]
-    dx_ref[:] = dx
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _bwd_dw_kernel(x_ref, dy_ref, dw_ref, db_ref):
@@ -93,8 +94,8 @@ def _bwd_dw_kernel(x_ref, dy_ref, dw_ref, db_ref):
         dw_ref[:] = jnp.zeros_like(dw_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    x = x_ref[:]
-    dy = dy_ref[:]
+    x = x_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
     dws = []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
@@ -138,7 +139,7 @@ def _fwd_pallas(x, w9, bias, interpret):
         ],
         out_specs=pl.BlockSpec((T, H, W, c_blk), lambda c, b: (b, 0, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -161,7 +162,7 @@ def _bwd_pallas(x, w9, dy, interpret):
             blk,
         ],
         out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dy.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -228,8 +229,11 @@ def depthwise_conv3x3(x: jax.Array, w: jax.Array,
     def _pallas_path():
         in_dtype = x.dtype
         w9 = w.reshape(1, 9, 1, C).astype(jnp.float32)
+        # x stays in its own dtype (bf16 I/O supported; kernels accumulate
+        # fp32 internally), halving the kernel's HBM traffic under mixed
+        # precision and avoiding the convert passes around the call
         out = _dw_core(
-            x.astype(jnp.float32), w9,
+            x, w9,
             None if bias is None else bias.reshape(1, 1, 1, C).astype(
                 jnp.float32),
             interpret)

@@ -51,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 # (pad ++ slice); "roll" uses the hardware sublane rotate + an iota mask.
 _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 
+# intra-chunk scan algorithm: "twolevel" = work-efficient within-8-rows scan
+# + carry scan over row-groups (~2x fewer full-width VPU passes than pure
+# doubling at L=256); "doubling" = plain Hillis-Steele.
+_SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "twolevel")
+
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
 # pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
@@ -142,6 +147,89 @@ def _doubling_scan(a: jax.Array, b: jax.Array):
     return a, b
 
 
+def _group_scan(a: jax.Array, b: jax.Array):
+    """Two-level inclusive scan of x_l = a_l x_{l-1} + b_l (x_{-1}=0) along
+    axis -2, returning (a_cum, x) like `_doubling_scan`.
+
+    Level 1: 3 masked doubling steps compute the scan WITHIN each group of 8
+    rows (one sublane tile). Level 2: the per-group carries (row 7 of each
+    group, extracted with a mask+reduce, never a strided slice -- Mosaic) are
+    scanned with log2(L/8) doubling steps on a (T, L/8, F) array 1/8 the
+    size, then injected back with one fused multiply-add. Total full-width
+    passes ~3.6 step-equivalents vs 8 for pure doubling at L=256.
+    """
+    T, L, F = a.shape
+    if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
+        return _doubling_scan(a, b)
+    G = L // 8
+    a4 = a.reshape(T, G, 8, F)
+    b4 = b.reshape(T, G, 8, F)
+
+    # within-group masked doubling: shifts must not cross group boundaries,
+    # which the rank-4 shape guarantees (shift along the size-8 axis only)
+    for s in (1, 2, 4):
+        pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
+        pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
+        a_sh = jnp.concatenate([pad_a, a4[:, :, : 8 - s, :]], axis=2)
+        b_sh = jnp.concatenate([pad_b, b4[:, :, : 8 - s, :]], axis=2)
+        b4 = b4 + a4 * b_sh
+        a4 = a4 * a_sh
+
+    # group carries: row 7 of each group via mask+reduce (one sublane pass)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, 8, F), 2)
+    last = idx == 7
+    ga = jnp.sum(jnp.where(last, a4, 0.0), axis=2)      # (T, G, F)
+    gb = jnp.sum(jnp.where(last, b4, 0.0), axis=2)
+
+    # level-2 scan over groups (1/8-size arrays)
+    ga_cum, gx = _doubling_scan(ga, gb)                 # inclusive over G
+
+    # exclusive versions: value entering each group from the groups before it
+    prev_x = jnp.concatenate(
+        [jnp.zeros((T, 1, F), gx.dtype), gx[:, : G - 1, :]], axis=1)
+    prev_a = jnp.concatenate(
+        [jnp.ones((T, 1, F), ga_cum.dtype), ga_cum[:, : G - 1, :]], axis=1)
+
+    x4 = b4 + a4 * prev_x[:, :, None, :]
+    a_cum4 = a4 * prev_a[:, :, None, :]
+    return a_cum4.reshape(T, L, F), x4.reshape(T, L, F)
+
+
+def _group_scan_rev(a_next: jax.Array, b: jax.Array):
+    """Two-level reverse scan r_l = b_l + a_next_l r_{l+1} (r_L = 0) along
+    axis -2, returning (a_cum_rev, r) like `_doubling_scan_rev`."""
+    T, L, F = a_next.shape
+    if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
+        return _doubling_scan_rev(a_next, b)
+    G = L // 8
+    a4 = a_next.reshape(T, G, 8, F)
+    b4 = b.reshape(T, G, 8, F)
+
+    for s in (1, 2, 4):
+        pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
+        pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
+        a_sh = jnp.concatenate([a4[:, :, s:, :], pad_a], axis=2)
+        b_sh = jnp.concatenate([b4[:, :, s:, :], pad_b], axis=2)
+        b4 = b4 + a4 * b_sh
+        a4 = a4 * a_sh
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, 8, F), 2)
+    first = idx == 0
+    ga = jnp.sum(jnp.where(first, a4, 0.0), axis=2)     # (T, G, F)
+    gb = jnp.sum(jnp.where(first, b4, 0.0), axis=2)
+
+    ga_cum, gr = _doubling_scan_rev(ga, gb)
+
+    next_r = jnp.concatenate(
+        [gr[:, 1:, :], jnp.zeros((T, 1, F), gr.dtype)], axis=1)
+    next_a = jnp.concatenate(
+        [ga_cum[:, 1:, :], jnp.ones((T, 1, F), ga_cum.dtype)], axis=1)
+
+    r4 = b4 + a4 * next_r[:, :, None, :]
+    a_cum4 = a4 * next_a[:, :, None, :]
+    return a_cum4.reshape(T, L, F), r4.reshape(T, L, F)
+
+
 def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
     """Reverse inclusive scan r_l = b_l + a_next_l * r_{l+1}, r_L = 0, along
     axis -2 -- the adjoint recurrence, via shift-UP doubling (no lax.rev).
@@ -176,27 +264,29 @@ def _fwd_kernel(
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
-    delta = dt_ref[:]                          # (T, L_CHUNK, D_BLK)
+    # I/O may be bf16; all math is fp32 (converts are VPU-local, free of
+    # HBM cost -- the blocks are already resident in VMEM)
+    delta = dt_ref[:].astype(jnp.float32)      # (T, L_CHUNK, D_BLK)
     if has_bias:
         delta = delta + bias_ref[:]            # (T, 1, D_BLK)
     if delta_softplus:
         delta = jax.nn.softplus(delta)
-    u = u_ref[:]
+    u = u_ref[:].astype(jnp.float32)
     du = delta * u
 
     # save the incoming flat carry row for the backward recompute
     hsave_ref[:, 0, 0] = h_carry[:]
 
     At = At_ref[:]                             # (T, N, D_BLK)
-    Bc = B_ref[:]                              # (T, L_CHUNK, N)
-    Cc = C_ref[:]
+    Bc = B_ref[:].astype(jnp.float32)          # (T, L_CHUNK, N)
+    Cc = C_ref[:].astype(jnp.float32)
     d_blk = delta.shape[-1]
 
     a = jnp.exp(jnp.concatenate(
         [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     b = jnp.concatenate(
         [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    a_cum, x = _doubling_scan(a, b)            # (T, L_CHUNK, N*D_BLK)
+    a_cum, x = _group_scan(a, b)               # (T, L_CHUNK, N*D_BLK)
     x = x + a_cum * h_carry[:, 0:1, :]         # inject flat carry row
     h_carry[:, 0:1, :] = x[:, -1:, :]
 
@@ -207,7 +297,7 @@ def _fwd_kernel(
     for n in range(N):
         sl = slice(n * d_blk, (n + 1) * d_blk)
         y = y + Cc[:, :, n:n + 1] * x[:, :, sl]
-    out_ref[:] = y
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
@@ -245,7 +335,7 @@ def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
                      memory_space=pltpu.VMEM),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, cfg.n_lchunk, 1, flat),
                              jnp.float32),
     )
@@ -292,20 +382,20 @@ def _bwd_kernel(
         dD_ref[:] = jnp.zeros_like(dD_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
-    delta_raw = dt_ref[:]                      # (T, L_CHUNK, D_BLK)
+    delta_raw = dt_ref[:].astype(jnp.float32)  # (T, L_CHUNK, D_BLK)
     if has_bias:
         delta_raw = delta_raw + bias_ref[:]
     if delta_softplus:
         delta = jax.nn.softplus(delta_raw)
     else:
         delta = delta_raw
-    u = u_ref[:]
-    dy = dy_ref[:]
+    u = u_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
     du_t = delta * u
 
     At = At_ref[:]                             # (T, N, D_BLK)
-    Bc = B_ref[:]                              # (T, L_CHUNK, N)
-    Cc = C_ref[:]
+    Bc = B_ref[:].astype(jnp.float32)          # (T, L_CHUNK, N)
+    Cc = C_ref[:].astype(jnp.float32)
     d_blk = delta.shape[-1]
 
     # recompute forward states within the chunk from the saved flat carry
@@ -313,7 +403,7 @@ def _bwd_kernel(
         [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     b = jnp.concatenate(
         [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    a_cum, x = _doubling_scan(a, b)
+    a_cum, x = _group_scan(a, b)
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     x = x + a_cum * h0_flat                    # h_l for l in chunk
     x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
@@ -324,7 +414,7 @@ def _bwd_kernel(
         [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
     a_next = jnp.concatenate(
         [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
-    acr, g = _doubling_scan_rev(a_next, src)
+    acr, g = _group_scan_rev(a_next, src)
     g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
     g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
 
@@ -361,8 +451,8 @@ def _bwd_kernel(
         ddelta = ddelta * jax.nn.sigmoid(delta_raw)
     if has_bias:
         dbias_ref[:] += jnp.sum(ddelta, axis=1, keepdims=True)
-    du_ref[:] = du_acc
-    ddt_ref[:] = ddelta
+    du_ref[:] = du_acc.astype(du_ref.dtype)
+    ddt_ref[:] = ddelta.astype(ddt_ref.dtype)
 
 
 def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
@@ -417,8 +507,8 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
                      memory_space=pltpu.VMEM),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
-        jax.ShapeDtypeStruct((BK, L, dim), jnp.float32),
+        jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
+        jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, 1, flat), jnp.float32),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
@@ -506,8 +596,8 @@ def _core_bwd(delta_softplus, interpret, res, dy):
     # dA_p: (BK, n_dblk, 1, N*d_blk) flat n-major within each d-block
     dA = dA_p.reshape(B, K, cfg.n_dblk, N, cfg.d_blk).sum(axis=0)
     dA = dA.transpose(0, 1, 3, 2).reshape(K, dim, N)
-    dB = dB.reshape(B, K, L, N)
-    dC = dC.reshape(B, K, L, N)
+    dB = dB.reshape(B, K, L, N).astype(folded[3].dtype)
+    dC = dC.reshape(B, K, L, N).astype(folded[4].dtype)
     dD = dD_p.reshape(B, K, dim).sum(axis=0) if has_D else None
     dbias = dbias_p.reshape(B, K, dim).sum(axis=0) if has_bias else None
     return (du, ddt, dA, dB, dC, dD, dbias)
@@ -534,11 +624,15 @@ def selective_scan_pallas(
     if return_last_state:
         raise NotImplementedError(
             "return_last_state is served by the ref/assoc implementations")
+    # u/delta/B/C keep their dtype (bf16 I/O halves the kernel's HBM
+    # traffic; the kernels convert to fp32 in VMEM and do ALL math in fp32,
+    # matching the reference's fp32-in-kernel policy, `models/cross.py:239`);
+    # A/D/delta_bias are parameters and stay fp32
     in_dtype = u.dtype
     out = _scan_pallas_core(
-        u.astype(jnp.float32), delta.astype(jnp.float32),
-        A.astype(jnp.float32), Bmat.astype(jnp.float32),
-        Cmat.astype(jnp.float32),
+        u, delta.astype(in_dtype),
+        A.astype(jnp.float32), Bmat.astype(in_dtype),
+        Cmat.astype(in_dtype),
         None if D is None else D.astype(jnp.float32),
         None if delta_bias is None else delta_bias.astype(jnp.float32),
         delta_softplus, interpret,

@@ -46,3 +46,28 @@ def test_gradients_match_xla():
     for name, a, bb in zip(("dx", "dw", "db"), g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_bf16_io():
+    """bf16 activations, fp32 accumulation inside the kernel."""
+    import jax
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    got = depthwise_conv3x3(x, w, b, impl="pallas", interpret=True)
+    want = depthwise_conv3x3(x.astype(jnp.float32), w, b, impl="xla")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=3e-2, atol=5e-2)
+
+    def loss(x):
+        return jnp.sum(depthwise_conv3x3(
+            x, w, b, impl="pallas", interpret=True).astype(jnp.float32))
+
+    g = jax.grad(loss)(x)
+    def loss_xla(x):
+        return jnp.sum(depthwise_conv3x3(x, w, b, impl="xla"))
+    g_ref = jax.grad(loss_xla)(x.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(g_ref),
+                               rtol=3e-2, atol=5e-2)

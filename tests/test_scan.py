@@ -173,3 +173,48 @@ def test_return_last_state():
         delta_softplus=True, return_last_state=True)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h2), rtol=1e-4,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["assoc", "pallas"])
+def test_bf16_io(impl):
+    """bf16 activations I/O, fp32 internal math (the kernels convert in
+    VMEM). Tolerances follow the reference's bf16 kernel test
+    (`mamba_ssm/ops/test_selective_scan.py:399-401`: rtol 3e-2 / atol 5e-2).
+    """
+    rng = np.random.default_rng(3)
+    u, delta, A, B, C, D, bias = make_inputs(rng, batch=1, K=2, L=32, dim=8,
+                                             N=4)
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+
+    bf = jnp.bfloat16
+    got = IMPLS[impl](
+        jnp.asarray(u, bf), jnp.asarray(delta, bf), jnp.asarray(A),
+        jnp.asarray(B, bf), jnp.asarray(C, bf), jnp.asarray(D),
+        jnp.asarray(bias), True)
+    assert got.dtype == bf
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=3e-2, atol=5e-2)
+
+    def loss(u, delta, A, B, C, D, bias):
+        out = IMPLS[impl](u, delta, A, B, C, D, bias, True)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape).astype(out.dtype)
+        return jnp.sum((out * w).astype(jnp.float32))
+
+    def loss_ref(u, delta, A, B, C, D, bias):
+        out = selective_scan_ref(u, delta, A, B, C, D, bias, True)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape)
+        return jnp.sum(out * w)
+
+    args_bf = (jnp.asarray(u, bf), jnp.asarray(delta, bf), jnp.asarray(A),
+               jnp.asarray(B, bf), jnp.asarray(C, bf), jnp.asarray(D),
+               jnp.asarray(bias))
+    args_f32 = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    g_bf = jax.grad(loss, argnums=tuple(range(7)))(*args_bf)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args_f32)
+    for name, gb, gr in zip(["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"],
+                            g_bf, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gb, np.float32), np.asarray(gr, np.float32),
+            rtol=5e-2, atol=8e-2, err_msg=f"bf16 gradient mismatch {name}")
