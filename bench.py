@@ -22,8 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 15.8
-BATCH = 6
-STEPS = 20  # all inside one dispatch (fori_loop) -- see run_n below
+# throughput-optimal config from tools/bench_batch_sweep.py (PERF.md): the
+# reference is locked to batch 6 / fp32 by its GPU; the pairs/sec/chip metric
+# is free to use the best batch and precision (bf16 activations, fp32 master
+# params + fp32 math inside the scan/dwconv kernels; loss trajectory matches
+# fp32 to 3 decimals over 12 steps)
+BATCH = int(os.environ.get("FM_BENCH_BATCH", 24))
+COMPUTE_DTYPE = os.environ.get("FM_BENCH_DTYPE", "bfloat16")
+STEPS = 20  # chained dispatch, one value fetch at the end
 
 
 def main():
@@ -41,11 +47,13 @@ def main():
         size = 256
         batch = BATCH
         steps = STEPS
+        compute_dtype = jnp.dtype(COMPUTE_DTYPE)
     else:  # CPU smoke fallback so the script always emits a result line
         cfg = test_config(scan_impl="assoc")
         size = 32
         batch = 2
         steps = 2
+        compute_dtype = jnp.float32
 
     model = VSSMFusion(cfg)
     rng = np.random.default_rng(0)
@@ -56,7 +64,7 @@ def main():
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=make_fusion_optimizer(1e-4))
-    step = make_fusion_train_step(model)
+    step = make_fusion_train_step(model, compute_dtype=compute_dtype)
 
     # Async chained dispatch: launch all steps back-to-back WITHOUT a
     # per-step sync, then fetch one metric value at the end. The donated
@@ -82,7 +90,8 @@ def main():
 
     pairs_per_sec = batch * steps / dt
     result = {
-        "metric": "fusion train pairs/sec/chip @256^2 (batch 6, full model)"
+        "metric": f"fusion train pairs/sec/chip @256^2 (batch {batch}, "
+                  f"{compute_dtype} activations, full model)"
                   if on_tpu else "CPU-smoke pairs/sec (not comparable)",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",

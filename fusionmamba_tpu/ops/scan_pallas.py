@@ -51,16 +51,28 @@ from jax.experimental.pallas import tpu as pltpu
 # (pad ++ slice); "roll" uses the hardware sublane rotate + an iota mask.
 _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 
-# intra-chunk scan algorithm: "twolevel" = work-efficient within-8-rows scan
-# + carry scan over row-groups (~2x fewer full-width VPU passes than pure
-# doubling at L=256); "doubling" = plain Hillis-Steele.
-_SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "twolevel")
+# intra-chunk scan algorithm: "doubling" = plain Hillis-Steele; "twolevel" =
+# work-efficient within-8-rows scan (rank-4 concat shifts) + carry scan over
+# row-groups; "twolevel_roll" = same but within-group shifts use the hardware
+# sublane rotate + iota mask on the flat array. Although twolevel does ~2x
+# fewer full-width VPU passes on paper, MEASURED on v5e it is ~30% SLOWER
+# than plain doubling (chained micro-bench, L=1024/256 model stages: fwd+bwd
+# 5.1/2.7 ms vs 3.9/1.9 ms) -- the rank-4 masked sub-tile shifts and the
+# carry extract/inject relayouts cost more than the saved passes; the roll
+# variant is slower still. Hence the default is doubling; the variants stay
+# selectable for future hardware.
+_SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
 
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
 # pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
 _FWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_FWD_BUDGET", 256 * 1024))
 _BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 128 * 1024))
+
+# cap on the intra-cell L chunk. Smaller chunks do fewer doubling passes per
+# element (log2 l_chunk) at the cost of more sequential grid steps and one
+# carry inject per chunk; 256 measured best on v5e (see tools/bench_scan.py)
+_L_CAP = int(os.environ.get("FM_SCAN_LCAP", 256))
 
 
 class _BlockCfg(NamedTuple):
@@ -84,7 +96,9 @@ def _largest_divisor_leq(n: int, cap: int, prefer_multiple: int = 128) -> int:
 
 
 def _pick_blocks(L: int, D: int, BK: int, N: int = 16, d_cap: int = 256,
-                 l_cap: int = 256) -> _BlockCfg:
+                 l_cap: int | None = None) -> _BlockCfg:
+    if l_cap is None:
+        l_cap = _L_CAP
     d_blk = _largest_divisor_leq(D, d_cap)
     l_chunk = _largest_divisor_leq(L, l_cap, prefer_multiple=8)
     cell = l_chunk * d_blk * N  # flat-lane width times chunk
@@ -162,18 +176,32 @@ def _group_scan(a: jax.Array, b: jax.Array):
     if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
         return _doubling_scan(a, b)
     G = L // 8
-    a4 = a.reshape(T, G, 8, F)
-    b4 = b.reshape(T, G, 8, F)
 
-    # within-group masked doubling: shifts must not cross group boundaries,
-    # which the rank-4 shape guarantees (shift along the size-8 axis only)
-    for s in (1, 2, 4):
-        pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
-        pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
-        a_sh = jnp.concatenate([pad_a, a4[:, :, : 8 - s, :]], axis=2)
-        b_sh = jnp.concatenate([pad_b, b4[:, :, : 8 - s, :]], axis=2)
-        b4 = b4 + a4 * b_sh
-        a4 = a4 * a_sh
+    if _SCAN_ALGO == "twolevel_roll":
+        # within-group steps on the FLAT (T, L, F) array: hardware sublane
+        # rotate + iota%8 mask, avoiding rank-4 concats of sub-tile sublane
+        # slices (which Mosaic lowers as relayout copies)
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, L, F), 1) % 8
+        for s in (1, 2, 4):
+            a_sh = pltpu.roll(a, s, axis=1)
+            b_sh = pltpu.roll(b, s, axis=1)
+            keep = row >= s
+            b = b + a * jnp.where(keep, b_sh, 0.0)
+            a = a * jnp.where(keep, a_sh, 1.0)
+        a4 = a.reshape(T, G, 8, F)
+        b4 = b.reshape(T, G, 8, F)
+    else:
+        a4 = a.reshape(T, G, 8, F)
+        b4 = b.reshape(T, G, 8, F)
+        # within-group masked doubling: shifts must not cross group
+        # boundaries, which the rank-4 shape guarantees
+        for s in (1, 2, 4):
+            pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
+            pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
+            a_sh = jnp.concatenate([pad_a, a4[:, :, : 8 - s, :]], axis=2)
+            b_sh = jnp.concatenate([pad_b, b4[:, :, : 8 - s, :]], axis=2)
+            b4 = b4 + a4 * b_sh
+            a4 = a4 * a_sh
 
     # group carries: row 7 of each group via mask+reduce (one sublane pass)
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, 8, F), 2)
@@ -202,16 +230,28 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
     if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
         return _doubling_scan_rev(a_next, b)
     G = L // 8
-    a4 = a_next.reshape(T, G, 8, F)
-    b4 = b.reshape(T, G, 8, F)
 
-    for s in (1, 2, 4):
-        pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
-        pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
-        a_sh = jnp.concatenate([a4[:, :, s:, :], pad_a], axis=2)
-        b_sh = jnp.concatenate([b4[:, :, s:, :], pad_b], axis=2)
-        b4 = b4 + a4 * b_sh
-        a4 = a4 * a_sh
+    if _SCAN_ALGO == "twolevel_roll":
+        a = a_next
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, L, F), 1) % 8
+        for s in (1, 2, 4):
+            a_sh = pltpu.roll(a, L - s, axis=1)   # up-shift by s (circular)
+            b_sh = pltpu.roll(b, L - s, axis=1)
+            keep = row < 8 - s
+            b = b + a * jnp.where(keep, b_sh, 0.0)
+            a = a * jnp.where(keep, a_sh, 1.0)
+        a4 = a.reshape(T, G, 8, F)
+        b4 = b.reshape(T, G, 8, F)
+    else:
+        a4 = a_next.reshape(T, G, 8, F)
+        b4 = b.reshape(T, G, 8, F)
+        for s in (1, 2, 4):
+            pad_a = jnp.ones(a4.shape[:2] + (s, F), a4.dtype)
+            pad_b = jnp.zeros(b4.shape[:2] + (s, F), b4.dtype)
+            a_sh = jnp.concatenate([a4[:, :, s:, :], pad_a], axis=2)
+            b_sh = jnp.concatenate([b4[:, :, s:, :], pad_b], axis=2)
+            b4 = b4 + a4 * b_sh
+            a4 = a4 * a_sh
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, 8, F), 2)
     first = idx == 0

@@ -63,9 +63,17 @@ def main():
                     help="dependency-chained in-program repeats (amortizes "
                          "the ~3 ms per-dispatch tunnel latency)")
     ap.add_argument("--impl", type=str, default="pallas")
+    ap.add_argument("--stages", type=int, default=len(STAGES),
+                    help="bench only the first N stage configs")
+    ap.add_argument("--algos", action="store_true",
+                    help="compare FM_SCAN_ALGO variants in subprocesses")
     args = ap.parse_args()
+    if args.algos:
+        compare_algos()
+        return
     if args.chained:
-        main_chained(impl=args.impl, bwd=args.bwd)
+        main_chained(impl=args.impl, bwd=args.bwd,
+                     stages=STAGES[:args.stages])
         return
 
     for L, D in STAGES:
@@ -130,6 +138,22 @@ def main_chained(impl="pallas", bwd=False, stages=STAGES):
             t_bwd = timed_chained(grad_fn, inputs)
             line += f"  fwd+bwd={t_bwd*1e3:7.3f}ms"
         print(line, flush=True)
+
+
+
+
+def compare_algos():
+    """Run the chained pallas bench (hot two stages) under each FM_SCAN_ALGO
+    in a subprocess (the env var is read at import)."""
+    import subprocess
+    here = os.path.abspath(__file__)
+    for algo in ("twolevel", "twolevel_roll", "doubling"):
+        env = dict(os.environ, FM_SCAN_ALGO=algo,
+                   JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp")
+        print(f"==== FM_SCAN_ALGO={algo}", flush=True)
+        subprocess.run(
+            [sys.executable, here, "--chained", "--bwd", "--stages", "2"],
+            env=env)
 
 
 if __name__ == "__main__":
