@@ -59,9 +59,27 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # than plain doubling (chained micro-bench, L=1024/256 model stages: fwd+bwd
 # 5.1/2.7 ms vs 3.9/1.9 ms) -- the rank-4 masked sub-tile shifts and the
 # carry extract/inject relayouts cost more than the saved passes; the roll
-# variant is slower still. Hence the default is doubling; the variants stay
-# selectable for future hardware.
+# variant is slower still.
+#
+# "cumsum" = log-space separable rescan: because a = exp(delta*A) the running
+# log-decay S = A (x) cumsum(delta) is SEPARABLE -- the cumsum runs on the
+# UNEXPANDED (L, D) delta and only a single rescaled array
+# Z = b * exp(-S) needs an expanded-width prefix sum (add monoid, one array,
+# log2(Q) shift+add passes) instead of the (a,b) monoid doubling over two
+# expanded arrays (16 shifts + 24 flops at L_chunk=256). exp(-S) is kept in
+# fp32 range by rebasing S per Q=32-row group (worst-case |S| growth at the
+# reference's dt/A init is 1.6/step -> 51 < the +-60 clip) and combining
+# groups with the overflow-free (a,b) monoid on 1/Q-size carry arrays.
 _SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
+
+# group size for the cumsum algorithm's rescale rebasing; must keep
+# |A| * sum(delta) within a group below the +-60 fp32 exp clip. At the
+# reference model's init (|A| <= d_state = 16, delta ~ softplus in
+# [0.001, ~0.2]) q=16 bounds |S| by ~51 with typical values ~13; lanes
+# that exceed the clip saturate their decay weights (bounded, documented
+# deviation -- the "doubling" algorithm remains the exact fallback).
+_CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 16))
+_CLIP = 60.0
 
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
@@ -270,6 +288,118 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
     return a_cum4.reshape(T, L, F), r4.reshape(T, L, F)
 
 
+def _cumsum_q(L: int) -> int | None:
+    """Group size for the "cumsum" algorithm, or None to fall back."""
+    if _SCAN_ALGO != "cumsum":
+        return None
+    q = min(_CUMSUM_Q, L)
+    while q > 1 and L % q:
+        q //= 2
+    return q if q >= 8 or q == L else None
+
+
+def _shift_down_g(x: jax.Array, s: int) -> jax.Array:
+    """Zero-fill down-shift along the within-group axis (-2 of rank-4)."""
+    q = x.shape[-2]
+    pad = jnp.zeros(x.shape[:-2] + (s, x.shape[-1]), x.dtype)
+    return jnp.concatenate([pad, x[..., : q - s, :]], axis=-2)
+
+
+def _shift_up_g(x: jax.Array, s: int) -> jax.Array:
+    q = x.shape[-2]
+    pad = jnp.zeros(x.shape[:-2] + (s, x.shape[-1]), x.dtype)
+    return jnp.concatenate([x[..., s:, :], pad], axis=-2)
+
+
+def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
+    """Inclusive prefix (or suffix, up=True) sum along axis -2 via doubling."""
+    s = 1
+    shift = _shift_up_g if up else _shift_down_g
+    while s < q:
+        x = x + shift(x, s)
+        s *= 2
+    return x
+
+
+def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
+    """Shared prologue of the cumsum algorithm: per-group rescale factors.
+
+    delta: (T, L, D_BLK) post-softplus, At: (T, N, D_BLK). Returns
+    (P, Pinv) of shape (T, L, N*D_BLK): P_l = exp(S_l) with S the GROUP-
+    relative log-decay cumsum, clipped to +-_CLIP so exp stays in fp32
+    range. S = A (x) cumsum(delta) is computed on the unexpanded delta
+    (1/N of the width) -- the separability win over materializing
+    a = exp(delta*A) and scanning the (a, b) monoid.
+    """
+    T, L, d_blk = delta.shape
+    N = At.shape[1]
+    G = L // q
+    d4 = delta.reshape(T, G, q, d_blk)
+    trel = _cumsum_ax(d4, q).reshape(T, L, d_blk)
+    S = jnp.concatenate(
+        [trel * At[:, n:n + 1, :] for n in range(N)], axis=-1)
+    P = jnp.exp(jnp.clip(S, -_CLIP, _CLIP))
+    return P, 1.0 / P
+
+
+def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int):
+    """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
+    a = exp(delta*A), x_{-1}=0, along axis -2. Same (a_cum, x) contract as
+    `_doubling_scan`. Only ONE expanded array (Z = b * exp(-S)) is scanned,
+    with a plain add-cumsum; groups of q rows are rescaled independently and
+    combined with the overflow-free (a, b) monoid on 1/q-size carries.
+    """
+    T, L, F = b.shape
+    G = L // q
+    P, Pinv = _rescaled_group_parts(delta, At, q)
+    Z4 = (b * Pinv).reshape(T, G, q, F)
+    P4 = P.reshape(T, G, q, F)
+    xloc4 = P4 * _cumsum_ax(Z4, q)
+    if G == 1:
+        return P, xloc4.reshape(T, L, F)
+    last = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2) == q - 1
+    ga = jnp.sum(jnp.where(last, P4, 0.0), axis=2)       # group a-products
+    gx = jnp.sum(jnp.where(last, xloc4, 0.0), axis=2)    # group-local ends
+    ga_cum, gX = _doubling_scan(ga, gx)                  # over G (1/q size)
+    prev_x = jnp.concatenate(
+        [jnp.zeros((T, 1, F), gX.dtype), gX[:, : G - 1, :]], axis=1)
+    prev_a = jnp.concatenate(
+        [jnp.ones((T, 1, F), ga_cum.dtype), ga_cum[:, : G - 1, :]], axis=1)
+    x4 = xloc4 + P4 * prev_x[:, :, None, :]
+    acum4 = P4 * prev_a[:, :, None, :]
+    return acum4.reshape(T, L, F), x4.reshape(T, L, F)
+
+
+def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array, q: int):
+    """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1} (r_L = 0) with
+    a = exp(delta*A). Same (a_cum_rev, r) contract as `_doubling_scan_rev`."""
+    T, L, F = src.shape
+    G = L // q
+    P, Pinv = _rescaled_group_parts(delta, At, q)
+    P4 = P.reshape(T, G, q, F)
+    Pinv4 = Pinv.reshape(T, G, q, F)
+    V4 = _cumsum_ax((src * P).reshape(T, G, q, F), q, up=True)
+    rloc4 = Pinv4 * V4             # Pinv_l * sum_{s>=l in-group} P_s src_s
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
+    ga = jnp.sum(jnp.where(idx == q - 1, P4, 0.0), axis=2)
+    if G == 1:
+        acr = (ga[:, :, None, :] * Pinv4).reshape(T, L, F)
+        return acr, rloc4.reshape(T, L, F)
+    # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1},
+    # u_g = sum_{s in g} exp(S_s) src_s = P_first_g * rloc_first_g
+    first = idx == 0
+    u = (jnp.sum(jnp.where(first, P4, 0.0), axis=2)
+         * jnp.sum(jnp.where(first, rloc4, 0.0), axis=2))
+    b_g = jnp.concatenate([u[:, 1:, :], jnp.zeros((T, 1, F), u.dtype)],
+                          axis=1)
+    a_next = jnp.concatenate([ga[:, 1:, :], jnp.ones((T, 1, F), ga.dtype)],
+                             axis=1)
+    acrG, C = _doubling_scan_rev(a_next, b_g)
+    r4 = rloc4 + Pinv4 * (ga * C)[:, :, None, :]
+    acr4 = Pinv4 * (ga * acrG)[:, :, None, :]
+    return acr4.reshape(T, L, F), r4.reshape(T, L, F)
+
+
 def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
     """Reverse inclusive scan r_l = b_l + a_next_l * r_{l+1}, r_L = 0, along
     axis -2 -- the adjoint recurrence, via shift-UP doubling (no lax.rev).
@@ -322,11 +452,15 @@ def _fwd_kernel(
     Cc = C_ref[:].astype(jnp.float32)
     d_blk = delta.shape[-1]
 
-    a = jnp.exp(jnp.concatenate(
-        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     b = jnp.concatenate(
         [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    a_cum, x = _group_scan(a, b)               # (T, L_CHUNK, N*D_BLK)
+    q = _cumsum_q(delta.shape[-2])
+    if q:
+        a_cum, x = _cumsum_scan(delta, At, b, q)
+    else:
+        a = jnp.exp(jnp.concatenate(
+            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+        a_cum, x = _group_scan(a, b)           # (T, L_CHUNK, N*D_BLK)
     x = x + a_cum * h_carry[:, 0:1, :]         # inject flat carry row
     h_carry[:, 0:1, :] = x[:, -1:, :]
 
@@ -439,27 +573,34 @@ def _bwd_kernel(
     d_blk = delta.shape[-1]
 
     # recompute forward states within the chunk from the saved flat carry
-    a = jnp.exp(jnp.concatenate(
-        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     b = jnp.concatenate(
         [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    a_cum, x = _group_scan(a, b)
-    h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
-    x = x + a_cum * h0_flat                    # h_l for l in chunk
-    x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
-
-    # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}; the carry from
-    # the chunk to the right already includes its leading a factor.
     src = jnp.concatenate(
         [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
-    a_next = jnp.concatenate(
-        [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
-    acr, g = _group_scan_rev(a_next, src)
-    g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
-    g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
+    q = _cumsum_q(delta.shape[-2])
+    if q:
+        a_cum, x = _cumsum_scan(delta, At, b, q)
+        # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
+        acr, g = _cumsum_scan_rev(delta, At, src, q)
+        a_first = jnp.exp(jnp.concatenate(
+            [delta[:, :1, :] * At[:, n:n + 1, :] for n in range(N)],
+            axis=-1))
+    else:
+        a = jnp.exp(jnp.concatenate(
+            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+        a_cum, x = _group_scan(a, b)
+        a_next = jnp.concatenate(
+            [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+        acr, g = _group_scan_rev(a_next, src)
+        a_first = a[:, :1, :]
+    h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
+    x = x + a_cum * h0_flat                    # h_l for l in chunk
 
-    da = g * x_prev                            # dL/da_l
-    daa = da * a
+    # the carry from the chunk to the right already includes its leading a
+    g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
+    g_carry[:, 0:1, :] = a_first * g[:, :1, :]
+
+    daa = g * (x - b)                          # g * a * x_prev: a*x_prev=x-b
 
     if has_D:
         du_acc = dy * D_ref[:]
