@@ -43,7 +43,8 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        cfg = full_config()
+        cfg = full_config(
+            remat_light=os.environ.get("FM_BENCH_REMAT_LIGHT", "0") == "1")
         size = 256
         batch = BATCH
         steps = STEPS

@@ -30,6 +30,10 @@ class FusionModelConfig:
     # trades ~1/3 more FLOPs for O(depth) less activation HBM, unlocking
     # larger (throughput-optimal) batch sizes on a 16 GB v5e chip
     remat: bool = False
+    # "light" remat: recompute only the wide cheap branches (Mlp/BiAttn/ECA)
+    # in the backward -- saves activation HBM without re-running the Pallas
+    # scan/dwconv kernels (nn/blocks.py)
+    remat_light: bool = False
     # segmentation
     num_seg_classes: int = 9
 

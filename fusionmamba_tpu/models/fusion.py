@@ -44,6 +44,7 @@ class VSSStage(nn.Module):
     scan_impl: str
     downsample: bool
     remat: bool = False
+    remat_light: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -53,7 +54,8 @@ class VSSStage(nn.Module):
                 dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
                 drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
-                scan_impl=self.scan_impl, name=f"block{i}",
+                scan_impl=self.scan_impl, remat_light=self.remat_light,
+                name=f"block{i}",
             )(x, deterministic)
         if self.downsample:
             x = PatchMerging(self.dim, name="downsample")(x)
@@ -74,6 +76,7 @@ class VSSStageUp(nn.Module):
     scan_impl: str
     upsample: bool
     remat: bool = False
+    remat_light: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -85,7 +88,8 @@ class VSSStageUp(nn.Module):
                 dim=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
                 drop_path=self.drop_paths[i], mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
-                scan_impl=self.scan_impl, name=f"block{i}",
+                scan_impl=self.scan_impl, remat_light=self.remat_light,
+                name=f"block{i}",
             )(x, deterministic)
         return x
 
@@ -128,7 +132,8 @@ class VSSMFusion(nn.Module):
         common = dict(
             d_state=c.d_state, ssm_ratio=c.ssm_ratio, mlp_ratio=c.mlp_ratio,
             attn_drop=c.attn_drop_rate, norm_eps=c.norm_eps,
-            scan_impl=c.scan_impl, remat=c.remat)
+            scan_impl=c.scan_impl, remat=c.remat,
+            remat_light=c.remat_light)
         self.layers = [
             VSSStage(dim=dims[i], depth=c.depths[i], drop_paths=dpr[i],
                      downsample=(i < nl - 1), **common)

@@ -27,26 +27,36 @@ class VSSBlock(nn.Module):
     attn_drop: float = 0.0
     norm_eps: float = 1e-5
     scan_impl: str = "auto"
+    # "light" remat: recompute only the cheap wide branches (Mlp with its
+    # 4x hidden, BiAttn, ECA) in the backward instead of saving their
+    # intermediates -- cuts activation HBM traffic WITHOUT re-running the
+    # Pallas scan/dwconv kernels (unlike whole-block remat, which re-runs
+    # them and measured a net loss at every batch size -- PERF.md)
+    remat_light: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
+        eca_cls = nn.remat(ECALayer) if self.remat_light else ECALayer
+        attn_cls = nn.remat(BiAttn) if self.remat_light else BiAttn
+        mlp_cls = (nn.remat(Mlp, static_argnums=(2,))
+                   if self.remat_light else Mlp)
         inp = x
         x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
         x_ssm = SS2D(
             d_model=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
             dropout=self.attn_drop, scan_impl=self.scan_impl, name="op",
         )(x, deterministic=deterministic)
-        x_eca = ECALayer(name="eca")(x_ssm)
+        x_eca = eca_cls(name="eca")(x_ssm)
         x = x_ssm + x_eca
         x_conv = LDC(self.dim, self.dim, name="conv_branch")(x)
-        se = BiAttn(self.dim, name="se")
+        se = attn_cls(self.dim, name="se")
         x = se(x_ssm) + se(x_conv)
         x = inp + DropPath(self.drop_path, name="drop_path")(
             x, deterministic=deterministic)
         if self.mlp_ratio > 0:
             h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
-            h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                    drop=self.mlp_drop, name="mlp")(h, deterministic)
+            h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim,
+                        drop=self.mlp_drop, name="mlp")(h, deterministic)
             x = x + DropPath(self.drop_path, name="drop_path2")(
                 h, deterministic=deterministic)
         return x

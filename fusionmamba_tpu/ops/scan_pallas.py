@@ -289,8 +289,8 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
 
 
 def _cumsum_q(L: int) -> int | None:
-    """Group size for the "cumsum" algorithm, or None to fall back."""
-    if _SCAN_ALGO != "cumsum":
+    """Group size for the "cumsum" algorithms, or None to fall back."""
+    if _SCAN_ALGO not in ("cumsum", "cumsum_mm"):
         return None
     q = min(_CUMSUM_Q, L)
     while q > 1 and L % q:
@@ -312,7 +312,28 @@ def _shift_up_g(x: jax.Array, s: int) -> jax.Array:
 
 
 def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
-    """Inclusive prefix (or suffix, up=True) sum along axis -2 via doubling."""
+    """Inclusive prefix (or suffix, up=True) sum along axis -2.
+
+    "cumsum_mm": one (q, q) triangular-ones matmul per (bk-tile, group) --
+    the prefix sum rides the MXU (fp32 via multi-pass bf16) and overlaps
+    with the kernel's VPU elementwise work, instead of log2(q) shift+add
+    VPU passes whose sub-tile concats Mosaic lowers as relayout copies.
+    """
+    if _SCAN_ALGO == "cumsum_mm" and x.ndim == 4 and x.shape[-2] >= 8:
+        T, G, q_, F = x.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 1)
+        tri = (row <= col if up else row >= col).astype(jnp.float32)
+        outs = []
+        for t in range(T):
+            gouts = []
+            for g in range(G):
+                gouts.append(jax.lax.dot(
+                    tri, x[t, g],
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32))
+            outs.append(gouts)
+        return jnp.stack([jnp.stack(g) for g in outs])
     s = 1
     shift = _shift_up_g if up else _shift_down_g
     while s < q:

@@ -147,7 +147,7 @@ def compare_algos():
     in a subprocess (the env var is read at import)."""
     import subprocess
     here = os.path.abspath(__file__)
-    for algo in ("twolevel", "twolevel_roll", "doubling"):
+    for algo in ("cumsum", "cumsum_mm", "doubling"):
         env = dict(os.environ, FM_SCAN_ALGO=algo,
                    JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp")
         print(f"==== FM_SCAN_ALGO={algo}", flush=True)
