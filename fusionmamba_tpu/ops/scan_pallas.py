@@ -81,6 +81,23 @@ _SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
 _CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 16))
 _CLIP = 60.0
 
+# matmul mode for the cumsum_mm triangular dots. The triangular-ones matrix
+# is EXACT in bf16, so the only rounding is on the scanned values:
+#   "hilo"    = two single-pass bf16 dots on an error-compensated hi/lo
+#               split (x = hi + lo, both bf16) -- ~2^-16 relative error,
+#               fp32-grade for the kernel tolerances, ~3x cheaper than
+#               HIGHEST (default)
+#   "highest" = true-fp32 multi-pass dots
+#   "high"    = bf16x3 passes
+#   "default" = one bf16 pass (~2^-8 per-term error; experiments only)
+_MM_MODE = os.environ.get("FM_SCAN_MM_PREC", "hilo")
+_MM_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "hilo": jax.lax.Precision.DEFAULT,
+}[_MM_MODE]
+
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
 # pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
@@ -324,14 +341,22 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
         row = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 1)
         tri = (row <= col if up else row >= col).astype(jnp.float32)
+        if _MM_MODE == "hilo":
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot(block):
+            return jax.lax.dot(tri, block, precision=_MM_PRECISION,
+                               preferred_element_type=jnp.float32)
+
         outs = []
         for t in range(T):
             gouts = []
             for g in range(G):
-                gouts.append(jax.lax.dot(
-                    tri, x[t, g],
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32))
+                if _MM_MODE == "hilo":
+                    gouts.append(dot(hi[t, g]) + dot(lo[t, g]))
+                else:
+                    gouts.append(dot(x[t, g]))
             outs.append(gouts)
         return jnp.stack([jnp.stack(g) for g in outs])
     s = 1
