@@ -1,3 +1,4 @@
+from .seq_scan import selective_scan_seq_parallel, shard_l
 from .sharding import (
     batch_sharding,
     make_mesh,
@@ -5,4 +6,7 @@ from .sharding import (
     replicated,
 )
 
-__all__ = ["make_mesh", "param_shardings", "batch_sharding", "replicated"]
+__all__ = [
+    "make_mesh", "param_shardings", "batch_sharding", "replicated",
+    "selective_scan_seq_parallel", "shard_l",
+]
