@@ -64,3 +64,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any):
+    """Shardings for an optax state: any subtree that mirrors the params
+    pytree (Adam mu/nu, weight-decay masks, ...) follows the params'
+    tensor-parallel shardings; every other leaf (step counters,
+    hyperparams) is replicated. Keeps optimizer moments co-located with
+    their sharded weights -- the Megatron-style pairing -- so the update
+    is local on every chip."""
+    p_struct = jax.tree_util.tree_structure(params)
+    p_shards = param_shardings(mesh, params)
+    rep = replicated(mesh)
+
+    def params_like(x):
+        try:
+            return jax.tree_util.tree_structure(x) == p_struct
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda sub: p_shards if params_like(sub) else rep,
+        opt_state, is_leaf=params_like)
