@@ -16,13 +16,15 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-# measured-fastest scan algorithm (PERF.md): log-space rescan with MXU
-# triangular dots on an error-compensated bf16 hi/lo split -- fp32-grade
-# numerics (golden SSIM parity test passes under it); the library default
-# stays "doubling" (exact for arbitrary input magnitudes)
+# measured-fastest scan algorithm (PERF.md): log-space rescan whose prefix
+# sums run as bf16-input/fp32-accumulate MXU dots -- the same bf16 rounding
+# the kernel's mixed-precision I/O already applies to its inputs, 60x
+# inside the reference's own bf16 kernel tolerance, and the golden SSIM
+# parity test passes under it on device. The library default stays
+# "doubling" (pure-fp32, exact for arbitrary input magnitudes).
 os.environ.setdefault("FM_SCAN_ALGO", "cumsum_mm")
 os.environ.setdefault("FM_SCAN_CUMSUM_Q", "32")
-os.environ.setdefault("FM_SCAN_MM_PREC", "hilo")
+os.environ.setdefault("FM_SCAN_MM_PREC", "default")
 
 import jax
 import jax.numpy as jnp

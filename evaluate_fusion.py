@@ -63,7 +63,7 @@ def main():
                 img = img.resize(size, Image.BICUBIC)
             return np.asarray(img, np.float64) / 255.0
         rep = fusion_report(load(vis[k]), load(ir[k]), _load_gray(fused[k]),
-                            _load_gray(ref[k]) if k in ref else None)
+                            load(ref[k]) if k in ref else None)
         rows.append((k, rep))
 
     metrics = sorted({m for _, rep in rows for m in rep})

@@ -80,7 +80,10 @@ def qabf(a: np.ndarray, b: np.ndarray, f: np.ndarray) -> float:
     def edge(img):
         gx, gy = _sobel(img)
         g = np.hypot(gx, gy)
-        alpha = np.arctan2(gy, gx + eps)
+        # published metric uses atan (range (-pi/2, pi/2]) -- orientation
+        # modulo polarity, so contrast-inverted edges (common between IR
+        # and fused) still count as preserved; atan2 would score them 0
+        alpha = np.arctan(gy / (gx + eps))
         return g, alpha
 
     g_a, al_a = edge(a)

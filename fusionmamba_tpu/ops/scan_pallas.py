@@ -72,28 +72,33 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # groups with the overflow-free (a,b) monoid on 1/Q-size carry arrays.
 _SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
 
-# group size for the cumsum algorithm's rescale rebasing; must keep
+# group size for the cumsum algorithms' rescale rebasing; must keep
 # |A| * sum(delta) within a group below the +-60 fp32 exp clip. At the
-# reference model's init (|A| <= d_state = 16, delta ~ softplus in
-# [0.001, ~0.2]) q=16 bounds |S| by ~51 with typical values ~13; lanes
-# that exceed the clip saturate their decay weights (bounded, documented
-# deviation -- the "doubling" algorithm remains the exact fallback).
+# reference model's init (|A| <= d_state = 16, worst-lane delta ~ 0.1,
+# i.e. ~1.6/step worst case) q=32 bounds |S| by ~51 and q=16 by ~26;
+# lanes that exceed the clip saturate their decay weights (bounded,
+# documented deviation -- "doubling" remains the exact fallback).
 _CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 16))
 _CLIP = 60.0
 
 # matmul mode for the cumsum_mm triangular dots. The triangular-ones matrix
 # is EXACT in bf16, so the only rounding is on the scanned values:
-#   "hilo"    = two single-pass bf16 dots on an error-compensated hi/lo
-#               split (x = hi + lo, both bf16) -- ~2^-16 relative error,
-#               fp32-grade for the kernel tolerances, ~3x cheaper than
-#               HIGHEST (default)
-#   "highest" = true-fp32 multi-pass dots
-#   "high"    = bf16x3 passes
-#   "default" = one bf16 pass (~2^-8 per-term error; experiments only)
+#   "default" = one bf16 pass with fp32 accumulation. Prefix-sum terms are
+#               rounded to bf16 (~2^-8), the same rounding the kernel's
+#               bf16 I/O already applies to its inputs under mixed
+#               precision; measured 4.8e-4 global rel error in the init
+#               regime -- 60x inside the reference's own bf16 kernel
+#               tolerance (rtol 3e-2, test_selective_scan.py:399-401).
+#               This is the bf16 operating point bench.py uses.
+#   "hilo"    = two bf16 dots on a Veltkamp-split x = hi + lo (the split
+#               uses plain float mul/add; a convert-based split is ELIDED
+#               by XLA's excess-precision pass and integer-mask splits
+#               crash this Mosaic's u32 lowering). Measured equal to
+#               true-fp32 dots (3e-5 rel) at ~2/3 their cost; fp32-grade.
+#   "highest" = true-fp32 multi-pass dots (slowest, exact baseline).
 _MM_MODE = os.environ.get("FM_SCAN_MM_PREC", "hilo")
 _MM_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
     "hilo": jax.lax.Precision.DEFAULT,
 }[_MM_MODE]
@@ -315,19 +320,6 @@ def _cumsum_q(L: int) -> int | None:
     return q if q >= 8 or q == L else None
 
 
-def _shift_down_g(x: jax.Array, s: int) -> jax.Array:
-    """Zero-fill down-shift along the within-group axis (-2 of rank-4)."""
-    q = x.shape[-2]
-    pad = jnp.zeros(x.shape[:-2] + (s, x.shape[-1]), x.dtype)
-    return jnp.concatenate([pad, x[..., : q - s, :]], axis=-2)
-
-
-def _shift_up_g(x: jax.Array, s: int) -> jax.Array:
-    q = x.shape[-2]
-    pad = jnp.zeros(x.shape[:-2] + (s, x.shape[-1]), x.dtype)
-    return jnp.concatenate([x[..., s:, :], pad], axis=-2)
-
-
 def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
     """Inclusive prefix (or suffix, up=True) sum along axis -2.
 
@@ -342,8 +334,18 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
         col = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 1)
         tri = (row <= col if up else row >= col).astype(jnp.float32)
         if _MM_MODE == "hilo":
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # IMPORTANT: the naive split hi = bf16(x); lo = x - f32(hi) is
+            # ELIDED by XLA's excess-precision pass (lo folds to exactly 0,
+            # silently degrading to one plain bf16 dot), and this Mosaic
+            # version crashes on u32 bitcast masking. Use a Veltkamp split
+            # instead: with c = x*(2^16+1), hi = c - (c - x) holds the top
+            # 8 mantissa bits (exactly representable in bf16) and
+            # lo = x - hi the rest -- plain float ops the compiler must
+            # evaluate as written (float a-(a-b) is not simplifiable).
+            c = x * jnp.float32(65537.0)
+            hi_f32 = c - (c - x)
+            hi = hi_f32.astype(jnp.bfloat16)
+            lo = (x - hi_f32).astype(jnp.bfloat16)
 
         def dot(block):
             return jax.lax.dot(tri, block, precision=_MM_PRECISION,
@@ -360,9 +362,9 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
             outs.append(gouts)
         return jnp.stack([jnp.stack(g) for g in outs])
     s = 1
-    shift = _shift_up_g if up else _shift_down_g
+    shift = _shift_up if up else _shift_down
     while s < q:
-        x = x + shift(x, s)
+        x = x + shift(x, s, 0.0)
         s *= 2
     return x
 
@@ -388,16 +390,18 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
     return P, 1.0 / P
 
 
-def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int):
+def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
+                 parts=None):
     """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
     a = exp(delta*A), x_{-1}=0, along axis -2. Same (a_cum, x) contract as
     `_doubling_scan`. Only ONE expanded array (Z = b * exp(-S)) is scanned,
     with a plain add-cumsum; groups of q rows are rescaled independently and
     combined with the overflow-free (a, b) monoid on 1/q-size carries.
+    `parts` lets a caller share one (P, Pinv) computation across scans.
     """
     T, L, F = b.shape
     G = L // q
-    P, Pinv = _rescaled_group_parts(delta, At, q)
+    P, Pinv = parts or _rescaled_group_parts(delta, At, q)
     Z4 = (b * Pinv).reshape(T, G, q, F)
     P4 = P.reshape(T, G, q, F)
     xloc4 = P4 * _cumsum_ax(Z4, q)
@@ -416,12 +420,13 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int):
     return acum4.reshape(T, L, F), x4.reshape(T, L, F)
 
 
-def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array, q: int):
+def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
+                     q: int, parts=None):
     """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1} (r_L = 0) with
     a = exp(delta*A). Same (a_cum_rev, r) contract as `_doubling_scan_rev`."""
     T, L, F = src.shape
     G = L // q
-    P, Pinv = _rescaled_group_parts(delta, At, q)
+    P, Pinv = parts or _rescaled_group_parts(delta, At, q)
     P4 = P.reshape(T, G, q, F)
     Pinv4 = Pinv.reshape(T, G, q, F)
     V4 = _cumsum_ax((src * P).reshape(T, G, q, F), q, up=True)
@@ -623,30 +628,32 @@ def _bwd_kernel(
         [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
     src = jnp.concatenate(
         [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+    # a is materialized in BOTH branches: the backward needs the exact
+    # daa = g * a * x_prev -- the algebraic shortcut g * (x - b) loses
+    # significance when |a*x_prev| << |b| (catastrophic cancellation in
+    # the dA/ddelta accumulations)
+    a = jnp.exp(jnp.concatenate(
+        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     q = _cumsum_q(delta.shape[-2])
     if q:
-        a_cum, x = _cumsum_scan(delta, At, b, q)
+        parts = _rescaled_group_parts(delta, At, q)   # shared by both scans
+        a_cum, x = _cumsum_scan(delta, At, b, q, parts)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
-        acr, g = _cumsum_scan_rev(delta, At, src, q)
-        a_first = jnp.exp(jnp.concatenate(
-            [delta[:, :1, :] * At[:, n:n + 1, :] for n in range(N)],
-            axis=-1))
+        acr, g = _cumsum_scan_rev(delta, At, src, q, parts)
     else:
-        a = jnp.exp(jnp.concatenate(
-            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _group_scan(a, b)
         a_next = jnp.concatenate(
             [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
         acr, g = _group_scan_rev(a_next, src)
-        a_first = a[:, :1, :]
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     x = x + a_cum * h0_flat                    # h_l for l in chunk
+    x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
 
     # the carry from the chunk to the right already includes its leading a
     g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
-    g_carry[:, 0:1, :] = a_first * g[:, :1, :]
+    g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
 
-    daa = g * (x - b)                          # g * a * x_prev: a*x_prev=x-b
+    daa = g * x_prev * a                       # dL/da_l * a_l
 
     if has_D:
         du_acc = dy * D_ref[:]

@@ -220,16 +220,31 @@ def test_bf16_io(impl):
             rtol=5e-2, atol=8e-2, err_msg=f"bf16 gradient mismatch {name}")
 
 
-def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch):
-    """The FM_SCAN_ALGO=cumsum log-space rescan (scan_pallas.py) is exact
-    whenever |A| * sum(delta) stays within the +-60 rescale clip per
+@pytest.mark.parametrize("algo,mm_mode,q,rtol,atol", [
+    ("cumsum", "hilo", 16, 6e-4, 2e-3),
+    ("cumsum_mm", "hilo", 32, 6e-4, 2e-3),       # fp32-grade Veltkamp dots
+    ("cumsum_mm", "default", 32, 3e-2, 5e-2),    # bench.py's bf16 operating
+    # point; tolerances = the reference's own bf16 kernel tolerances
+    # (`mamba_ssm/ops/test_selective_scan.py:399-401`)
+])
+def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch, algo, mm_mode,
+                                                q, rtol, atol):
+    """The FM_SCAN_ALGO=cumsum{,_mm} log-space rescan (scan_pallas.py) is
+    exact whenever |A| * sum(delta) stays within the +-60 rescale clip per
     _CUMSUM_Q rows -- which the reference model's init guarantees (S4D
     A in [-16, -1], dt = softplus of small pre-activations with bias in
-    softplus_inv([0.001, 0.1]), `models/cross.py:542-583`)."""
+    softplus_inv([0.001, 0.1]), `models/cross.py:542-583`).
+
+    Runs the COMPILED kernel on the default backend (not interpret mode):
+    the hilo/bf16 dot modes are only meaningful where the backend actually
+    computes bf16 dots, and XLA rewrites (such as the excess-precision pass
+    that elides a naive hi/lo split) only fire in compiled programs."""
     from fusionmamba_tpu.ops import scan_pallas as sp
-    monkeypatch.setattr(sp, "_SCAN_ALGO", "cumsum")
+    monkeypatch.setattr(sp, "_SCAN_ALGO", algo)
+    monkeypatch.setattr(sp, "_MM_MODE", mm_mode)
+    monkeypatch.setattr(sp, "_CUMSUM_Q", q)
     rng = np.random.default_rng(3)
-    batch, K, L, dim, N = 1, 2, 64, 8, 16
+    batch, K, L, dim, N = 1, 2, 64, 128, 16
     u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
     delta = (0.3 * rng.standard_normal((batch, K, L, dim))).astype(np.float32)
     A = -np.broadcast_to(np.arange(1.0, N + 1.0), (K, dim, N)).astype(
@@ -242,12 +257,13 @@ def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch):
     args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
 
     want = golden_scan_np(u, delta, A, B, C, D, bias, True)
-    got = IMPLS["pallas"](*args, True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4, atol=2e-3)
+    got = jax.jit(
+        lambda *a: selective_scan_pallas(*a, delta_softplus=True))(*args)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=rtol, atol=atol)
 
     def loss_with(impl_fn):
         def loss(*a):
-            out = impl_fn(*a, True)
+            out = impl_fn(*a, delta_softplus=True)
             w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
                 out.shape)
             return jnp.sum(out * w)
@@ -255,11 +271,14 @@ def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch):
 
     grads_ref = jax.grad(loss_with(selective_scan_ref),
                          argnums=tuple(range(7)))(*args)
-    grads_got = jax.grad(loss_with(IMPLS["pallas"]),
-                         argnums=tuple(range(7)))(*args)
+    grads_got = jax.jit(jax.grad(loss_with(selective_scan_pallas),
+                                 argnums=tuple(range(7))))(*args)
+    gr = max(rtol, 1e-3)
+    ga = max(atol, 1e-3)
     for name, g_ref, g_got in zip(
             ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"],
             grads_ref, grads_got):
+        scale = np.maximum(np.abs(np.asarray(g_ref)).max(), 1.0)
         np.testing.assert_allclose(
-            np.asarray(g_got), np.asarray(g_ref), rtol=1e-3, atol=1e-3,
-            err_msg=f"gradient mismatch for {name}")
+            np.asarray(g_got) / scale, np.asarray(g_ref) / scale,
+            rtol=gr, atol=ga, err_msg=f"gradient mismatch for {name}")
