@@ -135,8 +135,13 @@ def _largest_divisor_leq(n: int, cap: int, prefer_multiple: int = 128) -> int:
     return best
 
 
-def _pick_blocks(L: int, D: int, BK: int, N: int = 16, d_cap: int = 256,
+_D_CAP = int(os.environ.get("FM_SCAN_DCAP", 256))
+
+
+def _pick_blocks(L: int, D: int, BK: int, N: int = 16, d_cap: int | None = None,
                  l_cap: int | None = None) -> _BlockCfg:
+    if d_cap is None:
+        d_cap = _D_CAP
     if l_cap is None:
         l_cap = _L_CAP
     d_blk = _largest_divisor_leq(D, d_cap)
@@ -330,9 +335,24 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
     """
     if _SCAN_ALGO == "cumsum_mm" and x.ndim == 4 and x.shape[-2] >= 8:
         T, G, q_, F = x.shape
-        row = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_, q_), 1)
-        tri = (row <= col if up else row >= col).astype(jnp.float32)
+        # batch groups into one BLOCK-DIAGONAL triangular dot: a lone
+        # (q, q) dot at q=32 drives only 32/128 of the MXU's M and K
+        # dims; stacking `sub` groups into a (sub*q, sub*q) block-diag
+        # mask (identical math -- zero blocks across groups) fills the
+        # 128x128 systolic tile, ~4x fewer MXU cycles and 4x fewer
+        # issues at q=32
+        orig_shape = x.shape
+        sub = max(1, 128 // q_)
+        while sub > 1 and G % sub:
+            sub //= 2
+        M = sub * q_
+        x = x.reshape(T, G // sub, M, F)
+        row = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        within = (row // q_) == (col // q_)
+        tri = ((row <= col if up else row >= col) & within).astype(
+            jnp.float32)
+        T, G, q_, F = x.shape
         if _MM_MODE == "hilo":
             # IMPORTANT: the naive split hi = bf16(x); lo = x - f32(hi) is
             # ELIDED by XLA's excess-precision pass (lo folds to exactly 0,
@@ -360,7 +380,7 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
                 else:
                     gouts.append(dot(x[t, g]))
             outs.append(gouts)
-        return jnp.stack([jnp.stack(g) for g in outs])
+        return jnp.stack([jnp.stack(g) for g in outs]).reshape(orig_shape)
     s = 1
     shift = _shift_up if up else _shift_down
     while s < q:
@@ -439,8 +459,10 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
     # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1},
     # u_g = sum_{s in g} exp(S_s) src_s = P_first_g * rloc_first_g
     first = idx == 0
-    u = (jnp.sum(jnp.where(first, P4, 0.0), axis=2)
-         * jnp.sum(jnp.where(first, rloc4, 0.0), axis=2))
+    # rloc_first = Pinv_first * V_first and P_first * Pinv_first == 1, so
+    # u_g = sum_{s in g} P_s src_s is exactly row 0 of V4: one mask-reduce
+    # instead of two plus a multiply (and avoids the P*Pinv rounding)
+    u = jnp.sum(jnp.where(first, V4, 0.0), axis=2)
     b_g = jnp.concatenate([u[:, 1:, :], jnp.zeros((T, 1, F), u.dtype)],
                           axis=1)
     a_next = jnp.concatenate([ga[:, 1:, :], jnp.ones((T, 1, F), ga.dtype)],
@@ -632,15 +654,29 @@ def _bwd_kernel(
     # daa = g * a * x_prev -- the algebraic shortcut g * (x - b) loses
     # significance when |a*x_prev| << |b| (catastrophic cancellation in
     # the dA/ddelta accumulations)
-    a = jnp.exp(jnp.concatenate(
-        [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
     q = _cumsum_q(delta.shape[-2])
     if q:
         parts = _rescaled_group_parts(delta, At, q)   # shared by both scans
+        P, Pinv = parts
+        # a = exp(delta*A) recovered from the rescale parts: within each
+        # q-row group the inclusive group-relative decay satisfies
+        # P_l = P_{l-1} * a_l, so a = P * shift_down(Pinv) with 1-fill at
+        # group starts -- one shift+multiply instead of an expanded
+        # concat+exp. Exact up to rounding except where the +-_CLIP
+        # saturated S (the same regime the P/Pinv math already deviates in).
+        Tt, Ll, Ff = P.shape
+        Gg = Ll // q
+        P4r = P.reshape(Tt, Gg, q, Ff)
+        Pinv4r = Pinv.reshape(Tt, Gg, q, Ff)
+        pad1 = jnp.ones((Tt, Gg, 1, Ff), Pinv.dtype)
+        a = (P4r * jnp.concatenate(
+            [pad1, Pinv4r[:, :, : q - 1, :]], axis=2)).reshape(Tt, Ll, Ff)
         a_cum, x = _cumsum_scan(delta, At, b, q, parts)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
         acr, g = _cumsum_scan_rev(delta, At, src, q, parts)
     else:
+        a = jnp.exp(jnp.concatenate(
+            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _group_scan(a, b)
         a_next = jnp.concatenate(
             [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
@@ -660,23 +696,29 @@ def _bwd_kernel(
         dD_ref[:] += jnp.sum(dy * u, axis=1, keepdims=True)
     else:
         du_acc = jnp.zeros_like(u)
-    ddelta = jnp.zeros_like(delta)
     # per-state-n loop; all concatenates below take FRESH computed values --
     # Mosaic rejects concats whose operands are raw slices carrying a
     # sublane/lane offset ("result/input offset mismatch on non-concat
     # dimension"), which is also why ddelta's A term is computed per-n
     # instead of against a concatenated A row.
+    # ddelta = sum_n daa_n*A_n + u * sum_n g_n*B_n and
+    # du    += delta * sum_n g_n*B_n share the factor gB = sum_n g_n*B_n:
+    # accumulating gB/daaA once and multiplying by u/delta OUTSIDE the loop
+    # saves ~4N expanded-width VPU passes vs the naive per-n products.
+    gB = jnp.zeros_like(u)          # sum_n g_n * B_n       (T, L, D_BLK)
+    daaA = jnp.zeros_like(u)        # sum_n daa_n * A_n
     dA_parts, dB_parts, dC_parts = [], [], []
     for n in range(N):
         sl = slice(n * d_blk, (n + 1) * d_blk)
         gn = g[:, :, sl]
-        Bn = Bc[:, :, n:n + 1]
         daan = daa[:, :, sl]
-        ddelta = ddelta + daan * At[:, n:n + 1, :] + gn * u * Bn
-        du_acc = du_acc + gn * delta * Bn
+        gB = gB + gn * Bc[:, :, n:n + 1]
+        daaA = daaA + daan * At[:, n:n + 1, :]
         dA_parts.append(jnp.sum(daan * delta, axis=1, keepdims=True))
         dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
         dC_parts.append(jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
+    ddelta = daaA + u * gB
+    du_acc = du_acc + delta * gB
     dA_ref[:, :, 0] += jnp.concatenate(dA_parts, axis=-1)
     dB_ref[:, 0] = jnp.concatenate(dB_parts, axis=-1)
     dC_ref[:, 0] = jnp.concatenate(dC_parts, axis=-1)
