@@ -25,6 +25,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("FM_SCAN_ALGO", "cumsum_mm")
 os.environ.setdefault("FM_SCAN_CUMSUM_Q", "32")
 os.environ.setdefault("FM_SCAN_MM_PREC", "default")
+os.environ.setdefault("FM_SCAN_GRAD_MM", "default")
 
 import jax
 import jax.numpy as jnp

@@ -34,6 +34,13 @@ class FusionModelConfig:
     # in the backward -- saves activation HBM without re-running the Pallas
     # scan/dwconv kernels (nn/blocks.py)
     remat_light: bool = False
+    # compute the tail (FinalPatchExpand's LayerNorm + the 1x1 output conv)
+    # in the PRE-depth-to-space layout as grouped ops on full 384-wide lanes
+    # instead of 24-wide lanes at 256^2 (identical math -- depth-to-space
+    # maps each channel group to one output position; nn/patch.py). The
+    # 24-lane full-resolution layout wastes >80% of each vector register
+    # and costs ~15 ms/step at batch 24 (PERF.md).
+    fused_tail: bool = True
     # segmentation
     num_seg_classes: int = 9
 

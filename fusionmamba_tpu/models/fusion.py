@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,6 +100,39 @@ class VSSStageUp(nn.Module):
 _remat_block = nn.remat(VSSBlock, static_argnums=(2,))
 
 
+class _FinalConv(nn.Module):
+    """1x1 conv C->1, param tree identical to nn.Conv(1, (1, 1)).
+
+    In compact mode the input is the PRE-depth-to-space tensor
+    (B, H, W, groups*C) from FinalPatchExpand(compact=True); the conv is a
+    block-diagonal (groups*C, groups) matmul followed by the deferred
+    depth-to-space of the scalar outputs -- exactly conv(depth_to_space(x))
+    but on full-width lanes (see nn/patch.py docstring)."""
+    c_in: int
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x, compact: bool = False):
+        k = self.param("kernel", torch_conv_kernel(), (1, 1, self.c_in, 1))
+        b = self.param("bias", torch_conv_bias(self.c_in), (1,))
+        kvec = k[0, 0, :, 0]
+        if not compact:
+            return (jnp.einsum("bhwc,c->bhw", x, kvec.astype(x.dtype))
+                    + b.astype(x.dtype))[..., None]
+        B, H, W, F = x.shape
+        s = self.scale
+        groups = F // self.c_in
+        # block-diagonal weights built differentiably from the conv kernel
+        mask = jnp.asarray(
+            (np.arange(F)[:, None] // self.c_in
+             == np.arange(groups)[None, :]).astype(np.float32))
+        wblk = jnp.tile(kvec, groups)[:, None] * mask
+        y = jnp.einsum("bhwf,fg->bhwg", x.astype(jnp.float32), wblk,
+                       precision=jax.lax.Precision.HIGHEST) + b
+        y = y.reshape(B, H, W, s, s).transpose(0, 1, 3, 2, 4)
+        return y.reshape(B, s * H, s * W, 1).astype(x.dtype)
+
+
 def _dpr_schedule(rate: float, depths: Sequence[int]):
     total = sum(depths)
     vals = [float(v) for v in np.linspace(0.0, rate, total)]
@@ -152,9 +186,7 @@ class VSSMFusion(nn.Module):
             for i in range(nl)
         ]
         self.final_up = FinalPatchExpand(dims_dec[-1], scale=4)
-        self.final_conv = nn.Conv(
-            1, (1, 1), kernel_init=torch_conv_kernel(),
-            bias_init=torch_conv_bias(dims_dec[-1] // 4))
+        self.final_conv = _FinalConv(dims_dec[-1] // 4, scale=4)
 
     def encode(self, x, embed, deterministic=True):
         skips = []
@@ -188,10 +220,11 @@ class VSSMFusion(nn.Module):
             x = layer_up(x, deterministic=deterministic)
         return x
 
-    def features(self, x1, x2, deterministic=True):
+    def features(self, x1, x2, deterministic=True, compact_tail=False):
         """Run the full network up to (and including) final_up; returns the
         (B, H, W, dims[0]//4) feature map the seg head and fusion head share
-        (`vmamba_Fusion_efficross.py:1052-1060`)."""
+        (`vmamba_Fusion_efficross.py:1052-1060`). With compact_tail=True the
+        depth-to-space of final_up is deferred (see FinalPatchExpand)."""
         ecat, skips = self.encode_pair(x1, x2, deterministic)
         e1, e2 = jnp.split(ecat, 2, axis=0)
         x = e1 + e2
@@ -200,11 +233,12 @@ class VSSMFusion(nn.Module):
             for cross, s in zip(self.cross_blocks, skips)
         ]
         x = self.decode(x, fused, deterministic)
-        return self.final_up(x)
+        return self.final_up(x, compact=compact_tail)
 
     def __call__(self, x1, x2, deterministic: bool = True):
-        feats = self.features(x1, x2, deterministic)
-        out = self.final_conv(feats)
+        compact = self.cfg.fused_tail
+        feats = self.features(x1, x2, deterministic, compact_tail=compact)
+        out = self.final_conv(feats, compact=compact)
         # reference residual `x + x_1 + x_2 + x_1 + x_2` (:927 via :1065)
         return out + 2.0 * x1 + 2.0 * x2
 

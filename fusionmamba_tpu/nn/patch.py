@@ -7,10 +7,29 @@ space-to-depth/depth-to-space to relayouts.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
+
+
+@functools.lru_cache(maxsize=None)
+def _group_avg_matrix(groups: int, width: int) -> np.ndarray:
+    """(groups*width, groups) block matrix averaging each width-chunk."""
+    m = np.zeros((groups * width, groups), np.float32)
+    for g in range(groups):
+        m[g * width:(g + 1) * width, g] = 1.0 / width
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _group_bcast_matrix(groups: int, width: int) -> np.ndarray:
+    """(groups, groups*width) block matrix replicating per-group values."""
+    return (_group_avg_matrix(groups, width).T * width).astype(np.float32)
 
 
 class PatchEmbed(nn.Module):
@@ -70,19 +89,56 @@ class PatchExpand(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm scale/bias parameters, matching nn.LayerNorm's param
+    tree exactly (so checkpoints are interchangeable with the unfused path).
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class FinalPatchExpand(nn.Module):
-    """Linear(d -> 4d, no bias) + 4x depth-to-space + LN(d/4)."""
+    """Linear(d -> 4d, no bias) + 4x depth-to-space + LN(d/4).
+
+    With compact=True the depth-to-space is DEFERRED: the LN is computed in
+    the pre-expand (B, H, W, s*s*c_out) layout as a grouped normalization
+    over each c_out-channel group (depth-to-space maps group (s1, s2) to
+    output position (s*h+s1, s*w+s2), so this is bit-equivalent math), and
+    the compact tensor is returned. At 256^2 output with c_out=24, the
+    post-expand layout uses 24 of 128 vector lanes; the compact layout is
+    full-width and the group statistics ride the MXU as block-matrix dots.
+    """
     dim: int
     scale: int = 4
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, dim)
+    def __call__(self, x, compact: bool = False):  # (B, H, W, dim)
         B, H, W, C = x.shape
         s = self.scale
         c_out = C // s
         x = nn.Dense(s * C, use_bias=False,
                      kernel_init=trunc_normal(0.02), name="expand")(x)
-        x = x.reshape(B, H, W, s, s, c_out)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, c_out)
-        x = nn.LayerNorm(name="norm")(x)
-        return x
+        if not compact:
+            x = x.reshape(B, H, W, s, s, c_out)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, c_out)
+            x = nn.LayerNorm(name="norm")(x)
+            return x
+        gamma, beta = _LNParams(c_out, name="norm")()
+        groups = s * s
+        xf = x.astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST  # fp32 stats like nn.LayerNorm
+        mavg = jnp.asarray(_group_avg_matrix(groups, c_out))
+        bcast = jnp.asarray(_group_bcast_matrix(groups, c_out))
+        mu = jnp.einsum("bhwc,cg->bhwg", xf, mavg, precision=hp)
+        ex2 = jnp.einsum("bhwc,cg->bhwg", xf * xf, mavg, precision=hp)
+        var = ex2 - mu * mu  # use_fast_variance, eps per flax default
+        rs = jax.lax.rsqrt(var + 1e-6)
+        mu_b = jnp.einsum("bhwg,gc->bhwc", mu, bcast, precision=hp)
+        rs_b = jnp.einsum("bhwg,gc->bhwc", rs, bcast, precision=hp)
+        y = (xf - mu_b) * rs_b * jnp.tile(gamma, groups) + jnp.tile(
+            beta, groups)
+        return y.astype(x.dtype)

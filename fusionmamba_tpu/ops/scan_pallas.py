@@ -103,6 +103,19 @@ _MM_PRECISION = {
     "hilo": jax.lax.Precision.DEFAULT,
 }[_MM_MODE]
 
+# dB/dC gradient reductions in the backward kernel: "hilo"/"default"/
+# "highest" route the contraction over the d_blk lanes through the MXU as a
+# block-ones dot (one F-wide multiply + one (L,F)@(F,N) matmul) instead of N
+# per-state cross-lane VPU reduce sequences (~log2(d_blk) F-wide passes
+# each); "off" keeps the exact VPU reduces. Precision semantics match
+# FM_SCAN_MM_PREC: hilo = Veltkamp-split bf16 pair (~3e-5 rel, fp32-grade),
+# default = single bf16 pass (~2^-9 rel), highest = true-fp32 multi-pass.
+# MEASURED (v5e, chained, L=1024/D=192 fwd+bwd): off 3.28 ms, default
+# 3.18 ms (-3%), hilo 3.36 ms (+2%) -- Mosaic's native cross-lane reduce is
+# cheaper than estimated, so this stays "off" by default; bench.py opts
+# into "default" alongside its other bf16-dot settings.
+_GRAD_MM_MODE = os.environ.get("FM_SCAN_GRAD_MM", "off")
+
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
 # pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
@@ -387,6 +400,31 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
         x = x + shift(x, s, 0.0)
         s *= 2
     return x
+
+
+def _veltkamp_split_bf16(x: jax.Array):
+    """Split fp32 x into bf16 (hi, lo) with hi+lo == x to ~3e-5 rel.
+
+    Plain float mul/add Veltkamp split (c = x*(2^16+1); hi = c-(c-x)) --
+    the convert-roundtrip form is elided by XLA's excess-precision pass
+    (see _cumsum_ax)."""
+    c = x * jnp.float32(65537.0)
+    hi_f32 = c - (c - x)
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
+def _grad_block_dot(prod: jax.Array, blockones: jax.Array) -> jax.Array:
+    """(L, F) @ (F, N) gradient contraction at the configured precision."""
+    if _GRAD_MM_MODE == "hilo":
+        hi, lo = _veltkamp_split_bf16(prod)
+        return (jax.lax.dot(hi, blockones,
+                            preferred_element_type=jnp.float32)
+                + jax.lax.dot(lo, blockones,
+                              preferred_element_type=jnp.float32))
+    prec = (jax.lax.Precision.HIGHEST if _GRAD_MM_MODE == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot(prod, blockones.astype(prod.dtype), precision=prec,
+                       preferred_element_type=jnp.float32)
 
 
 def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
@@ -708,6 +746,7 @@ def _bwd_kernel(
     gB = jnp.zeros_like(u)          # sum_n g_n * B_n       (T, L, D_BLK)
     daaA = jnp.zeros_like(u)        # sum_n daa_n * A_n
     dA_parts, dB_parts, dC_parts = [], [], []
+    grad_mm = _GRAD_MM_MODE != "off"
     for n in range(N):
         sl = slice(n * d_blk, (n + 1) * d_blk)
         gn = g[:, :, sl]
@@ -715,13 +754,34 @@ def _bwd_kernel(
         gB = gB + gn * Bc[:, :, n:n + 1]
         daaA = daaA + daan * At[:, n:n + 1, :]
         dA_parts.append(jnp.sum(daan * delta, axis=1, keepdims=True))
-        dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
-        dC_parts.append(jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
+        if not grad_mm:
+            dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
+            dC_parts.append(jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
     ddelta = daaA + u * gB
     du_acc = du_acc + delta * gB
     dA_ref[:, :, 0] += jnp.concatenate(dA_parts, axis=-1)
-    dB_ref[:, 0] = jnp.concatenate(dB_parts, axis=-1)
-    dC_ref[:, 0] = jnp.concatenate(dC_parts, axis=-1)
+    if grad_mm:
+        # dB_{l,n} = sum_d g_{l,nd} du_{l,d} (and dC likewise with x, dy)
+        # as ONE F-wide multiply + an MXU block-ones dot per BK-tile row,
+        # instead of N cross-lane reduce sequences (~log2(d_blk) F-wide
+        # VPU passes each). blockones[f, n] = 1 iff f // d_blk == n; it is
+        # exact in bf16, so only the product term carries dot rounding
+        # (mode-dependent -- see _GRAD_MM_MODE).
+        T = g.shape[0]
+        flatF = N * d_blk
+        prodB = g * jnp.concatenate([du_t] * N, axis=-1)
+        prodC = x * jnp.concatenate([dy] * N, axis=-1)
+        fblk = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 0) // d_blk
+        ncol = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 1)
+        blockones = (fblk == ncol).astype(
+            jnp.bfloat16 if _GRAD_MM_MODE == "hilo" else jnp.float32)
+        dB_ref[:, 0] = jnp.stack(
+            [_grad_block_dot(prodB[t], blockones) for t in range(T)])
+        dC_ref[:, 0] = jnp.stack(
+            [_grad_block_dot(prodC[t], blockones) for t in range(T)])
+    else:
+        dB_ref[:, 0] = jnp.concatenate(dB_parts, axis=-1)
+        dC_ref[:, 0] = jnp.concatenate(dC_parts, axis=-1)
 
     if delta_softplus:
         ddelta = ddelta * jax.nn.sigmoid(delta_raw)

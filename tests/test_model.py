@@ -60,3 +60,19 @@ def test_seg_forward(tiny_setup):
     out = model.apply(variables, x1, x2, mutable=False)
     assert out["segmentation"].shape == (1, 32, 32, 5)
     assert out["fusion"].shape == (1, 32, 32, 1)
+
+
+def test_fused_tail_equivalence(tiny_setup):
+    """cfg.fused_tail computes the tail (final_up LN + 1x1 conv) in the
+    pre-depth-to-space layout; must match the unfused path numerically
+    (identical math, fp32-dot stats -- nn/patch.py, models/fusion.py)."""
+    cfg, model, params, _, _ = tiny_setup
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    from fusionmamba_tpu.config import test_config as _tc
+    model_unfused = VSSMFusion(_tc(scan_impl="assoc", fused_tail=False))
+    out_fused = model.apply(params, x1, x2)        # default fused_tail=True
+    out_plain = model_unfused.apply(params, x1, x2)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)

@@ -88,7 +88,14 @@ def main():
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "Device" in n or "/device" in n}
 
+    import re
+
+    def norm(name: str) -> str:
+        name = name.replace(".remat", "")
+        return re.sub(r"\.\d+$", "", name)
+
     agg = defaultdict(lambda: [0.0, 0])
+    samples = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -99,21 +106,52 @@ def main():
         # XLA op events live on "XLA Ops"-ish threads; steps/TraceMe on others
         if tname and ("Steps" in tname or "Framework" in tname):
             continue
-        dur = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "?")
-        agg[name][0] += dur
-        agg[name][1] += 1
+        if name.startswith("jit_"):  # whole-program envelope: not an op
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        key = norm(name)
+        agg[key][0] += dur
+        agg[key][1] += 1
+        if key not in samples and e.get("args"):
+            samples[key] = e["args"]
         total += dur
+
+    def category(name: str, meta: dict) -> str:
+        longn = " ".join(str(v) for v in (meta or {}).values())
+        hay = name + " " + longn
+        if "tpu_custom_call" in hay or "MosaicKernel" in hay:
+            return "pallas"
+        if name.startswith("copy") or "copy" in name:
+            return "copy"
+        if "conv" in hay:
+            return "conv"
+        if "dot" in hay or "einsum" in hay:
+            return "dot"
+        if "reduce" in hay:
+            return "reduce-fusion"
+        if "fusion" in name or "add" in name or "multiply" in name:
+            return "elementwise-fusion"
+        return "other"
+
+    cats = defaultdict(float)
+    for key, (dur, _cnt) in agg.items():
+        cats[category(key, samples.get(key))] += dur
 
     print(f"trace: {path}")
     print(f"pids: { {p: pid_names.get(p, '') for p in device_pids} }")
     print(f"total device op time: {total:.1f} ms over {args.steps} steps "
           f"=> {total/args.steps:.1f} ms/step")
+    print("-- categories --")
+    for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {c}")
     print(f"{'ms/step':>9}  {'%':>5}  {'calls':>6}  name")
     for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[
             :args.top]:
+        meta = samples.get(name) or {}
+        longn = str(meta.get("long_name", meta.get("hlo_op", "")))[:90]
         print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {cnt:6d}  "
-              f"{name[:110]}")
+              f"{name[:60]}  {longn}")
 
 
 if __name__ == "__main__":
