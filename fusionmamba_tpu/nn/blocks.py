@@ -13,7 +13,15 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from .layers import BiAttn, CrossLayer, DropPath, ECALayer, LDC, Mlp
+from .layers import (
+    BiAttn,
+    CrossLayer,
+    DropPath,
+    ECALayer,
+    FusedLayerNorm,
+    LDC,
+    Mlp,
+)
 from .ss2d import SS2D, SS2DCross
 
 
@@ -41,7 +49,7 @@ class VSSBlock(nn.Module):
         mlp_cls = (nn.remat(Mlp, static_argnums=(2,))
                    if self.remat_light else Mlp)
         inp = x
-        x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        x = FusedLayerNorm(epsilon=self.norm_eps, name="norm")(x)
         x_ssm = SS2D(
             d_model=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
             dropout=self.attn_drop, scan_impl=self.scan_impl, name="op",
@@ -54,7 +62,7 @@ class VSSBlock(nn.Module):
         x = inp + DropPath(self.drop_path, name="drop_path")(
             x, deterministic=deterministic)
         if self.mlp_ratio > 0:
-            h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
+            h = FusedLayerNorm(epsilon=self.norm_eps, name="norm2")(x)
             h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim,
                         drop=self.mlp_drop, name="mlp")(h, deterministic)
             x = x + DropPath(self.drop_path, name="drop_path2")(
@@ -74,8 +82,8 @@ class VSSBlockCross(nn.Module):
     def __call__(self, x1, x2, deterministic: bool = True):
         fuse = x1 + x2
         f1, f2 = CrossLayer(self.dim, name="cross_layer")(fuse, x1, x2)
-        f1 = nn.LayerNorm(epsilon=self.norm_eps, name="ln_1")(f1)
-        f2 = nn.LayerNorm(epsilon=self.norm_eps, name="ln_2")(f2)
+        f1 = FusedLayerNorm(epsilon=self.norm_eps, name="ln_1")(f1)
+        f2 = FusedLayerNorm(epsilon=self.norm_eps, name="ln_2")(f2)
         y = SS2DCross(
             d_model=self.dim, d_state=self.d_state, ssm_ratio=self.ssm_ratio,
             dropout=self.attn_drop, scan_impl=self.scan_impl,

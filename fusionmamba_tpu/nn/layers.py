@@ -11,11 +11,28 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.ln_pallas import layer_norm_fused
 from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
 
 
 def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm (+ optional fused gate multiply) backed by the
+    Pallas fused-LN kernel (ops/ln_pallas.py -- the reference's Triton
+    layernorm analog, `mamba_ssm/ops/triton/layernorm.py`). Param tree is
+    identical to nn.LayerNorm, so checkpoints are interchangeable; numerics
+    match flax (fp32 fast-variance stats)."""
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, gate=None):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return layer_norm_fused(x, scale, bias, gate, eps=self.epsilon)
 
 
 class DropPath(nn.Module):
@@ -108,7 +125,7 @@ class BiAttn(nn.Module):
     def __call__(self, x):  # NHWC
         reduce_ch = int(self.in_channels * self.act_ratio)
         ori = x
-        x = nn.LayerNorm(name="norm")(x)
+        x = FusedLayerNorm(name="norm")(x)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = gelu_exact(Dense(reduce_ch, name="global_reduce")(g))
         attn = jax.nn.sigmoid(Dense(self.in_channels, name="channel_select")(g))

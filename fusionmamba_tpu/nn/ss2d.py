@@ -30,6 +30,7 @@ from ..ops import (
     selective_scan,
 )
 from ..ops.dwconv_pallas import depthwise_conv3x3
+from .layers import FusedLayerNorm
 from .initializers import (
     a_log_s4d,
     dt_proj_bias,
@@ -82,7 +83,7 @@ class _SSMCore(nn.Module):
                 if self.dt_rank is None else self.dt_rank)
 
     @nn.compact
-    def scan(self, x):  # x: (B, H, W, d_inner)
+    def scan(self, x, gate=None):  # x: (B, H, W, d_inner)
         B, H, W, D = x.shape
         N = self.d_state
         R = self.rank
@@ -119,7 +120,9 @@ class _SSMCore(nn.Module):
 
         y = (cross_merge(ys, H, W) if fullres
              else efficient_merge(ys, H, W))         # (B, H, W, D)
-        y = nn.LayerNorm(name="out_norm")(y)
+        # fused LN + the callers' `y * z` gate in one Pallas pass
+        # (`models/cross.py:334-335` then `:742` / `:1225-1229`)
+        y = FusedLayerNorm(name="out_norm")(y, gate=gate)
         return y.astype(x.dtype)
 
 
@@ -140,8 +143,7 @@ class SS2D(_SSMCore):
         xpart = DepthwiseConv2d(d_exp, use_bias=self.conv_bias,
                                 name="conv2d")(xpart)
         xpart = jax.nn.silu(xpart)
-        y = self.scan(xpart)
-        y = y * z
+        y = self.scan(xpart, gate=z)
         out = nn.Dense(self.d_model, use_bias=self.proj_bias,
                        kernel_init=trunc_normal(0.02), name="out_proj")(y)
         if self.dropout > 0.0:
@@ -176,8 +178,8 @@ class SS2DCross(_SSMCore):
         x2p = jax.nn.silu(conv(x2p))
 
         fused = x1p * x2p + x1p + x2p  # pre-scan fusion (`:372`)
-        y = self.scan(fused)
-        y = y * z1 + y * z2
+        # y*z1 + y*z2 == y*(z1+z2): fold the dual gate into the fused LN
+        y = self.scan(fused, gate=z1 + z2)
         out = nn.Dense(self.d_model, use_bias=self.proj_bias,
                        kernel_init=trunc_normal(0.02), name="out_proj")(y)
         if self.dropout > 0.0:

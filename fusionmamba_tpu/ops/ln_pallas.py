@@ -1,0 +1,198 @@
+"""Fused LayerNorm (+ optional gate multiply) as a Pallas TPU kernel.
+
+TPU-native analog of the reference's fused Triton layernorm
+(`mamba_ssm/ops/triton/layernorm.py:64-122,196-292`): the hot fusion-model
+LayerNorms (block pre-norms, SS2D's `out_norm`, BiAttn's norm) sit on
+(B, H, W, C) activations whose XLA lowering is a stats fusion plus a
+normalize fusion -- two HBM reads of x and one write forward, and ~three
+passes backward. This kernel keeps each row tile VMEM-resident and does
+stats + normalize (+ the SS2D `y * z` gate, `models/cross.py:742`) in one
+read/one write; the backward emits dx (+ dgate) in one pass and per-tile
+dscale/dbias partials that XLA tree-reduces outside.
+
+Numerics match `flax.linen.LayerNorm` (fp32 stats, fast-variance
+E[x^2] - E[x]^2, default eps) so checkpoints and the golden parity tests
+are unaffected; I/O may be bf16 (converted in VMEM, stats in fp32).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# row-tile element budget (~6 live (R_BLK, C) f32 buffers in the backward)
+_ELEM_BUDGET = 512 * 1024
+
+
+def _pick_rows(rows: int, C: int) -> int:
+    cap = max(8, _ELEM_BUDGET // max(C, 1))
+    best = 8
+    for cand in range(min(rows, cap), 7, -1):
+        if rows % cand == 0 and cand % 8 == 0:
+            best = cand
+            break
+    return best if rows % best == 0 else rows
+
+
+def _stats(x, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    return mu, jax.lax.rsqrt(var + eps)
+
+
+def _ln_fwd_kernel(x_ref, s_ref, b_ref, g_ref, o_ref, *, eps, has_gate):
+    x = x_ref[:].astype(jnp.float32)          # (R_BLK, C)
+    mu, rs = _stats(x, eps)
+    y = (x - mu) * rs * s_ref[:] + b_ref[:]
+    if has_gate:
+        y = y * g_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, s_ref, b_ref, g_ref, dy_ref,
+                   dx_ref, dg_ref, ds_ref, db_ref,
+                   *, eps, has_gate):
+    x = x_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    scale = s_ref[:]
+    mu, rs = _stats(x, eps)
+    xhat = (x - mu) * rs
+    if has_gate:
+        g = g_ref[:].astype(jnp.float32)
+        dg_ref[:] = (dy * (xhat * scale + b_ref[:])).astype(dg_ref.dtype)
+        dy = dy * g
+    else:
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+    # partials are (G, 1, C) with block (1, 1, C): the last two block dims
+    # must equal the array dims (Pallas TPU (8,128)-divisibility rule)
+    ds_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+    w = dy * scale
+    m1 = jnp.mean(w, axis=-1, keepdims=True)
+    m2 = jnp.mean(w * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rs * (w - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _fwd_pallas(x2, scale, bias, gate2, eps, interpret):
+    rows, C = x2.shape
+    r_blk = _pick_rows(rows, C)
+    grid = (rows // r_blk,)
+    has_gate = gate2 is not None
+    row_spec = pl.BlockSpec((r_blk, C), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, C), lambda r: (0, 0),
+                            memory_space=pltpu.VMEM)
+    zeros = jnp.zeros((1, C), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps, has_gate=has_gate),
+        grid=grid,
+        in_specs=[row_spec, par_spec, par_spec,
+                  row_spec if has_gate else par_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, C), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32),
+      gate2 if has_gate else zeros)
+
+
+def _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret):
+    rows, C = x2.shape
+    r_blk = _pick_rows(rows, C)
+    grid = (rows // r_blk,)
+    has_gate = gate2 is not None
+    row_spec = pl.BlockSpec((r_blk, C), lambda r: (r, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, C), lambda r: (0, 0),
+                            memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, 1, C), lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    zeros = jnp.zeros((1, C), jnp.float32)
+    dx, dg, ds_p, db_p = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps, has_gate=has_gate),
+        grid=grid,
+        in_specs=[row_spec, par_spec, par_spec,
+                  row_spec if has_gate else par_spec, row_spec],
+        out_specs=(row_spec, row_spec if has_gate else par_spec,
+                   part_spec, part_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, C), dy2.dtype),
+            jax.ShapeDtypeStruct((rows, C) if has_gate else (1, C),
+                                 dy2.dtype),
+            jax.ShapeDtypeStruct((rows // r_blk, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((rows // r_blk, 1, C), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32),
+      gate2 if has_gate else zeros, dy2)
+    return dx, (dg if has_gate else None), ds_p.sum((0, 1)), db_p.sum((0, 1))
+
+
+def _ln_ref(x, scale, bias, gate, eps):
+    xf = x.astype(jnp.float32)
+    mu, rs = _stats(xf, eps)
+    y = (xf - mu) * rs * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if gate is not None:
+        y = y * gate.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ln_core(x2, scale, bias, gate2, eps, interpret):
+    return _fwd_pallas(x2, scale, bias, gate2, eps, interpret)
+
+
+def _ln_core_fwd(x2, scale, bias, gate2, eps, interpret):
+    out = _fwd_pallas(x2, scale, bias, gate2, eps, interpret)
+    return out, (x2, scale, bias, gate2)
+
+
+def _ln_core_bwd(eps, interpret, res, dy2):
+    x2, scale, bias, gate2 = res
+    dx, dg, ds, db = _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret)
+    return dx, ds.reshape(scale.shape), db.reshape(bias.shape), dg
+
+
+_ln_core.defvjp(_ln_core_fwd, _ln_core_bwd)
+
+
+def layer_norm_fused(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     gate: jax.Array | None = None, eps: float = 1e-6,
+                     impl: str = "auto", interpret: bool = False):
+    """LayerNorm over the last axis (+ optional elementwise gate multiply).
+
+    x (..., C); scale/bias (C,); gate broadcastable to x or None.
+    Matches flax.linen.LayerNorm numerics (fp32 fast-variance stats).
+    """
+    C = x.shape[-1]
+    rows = x.size // C
+    x2 = x.reshape(rows, C)
+    gate2 = None
+    if gate is not None:
+        gate2 = jnp.broadcast_to(gate, x.shape).reshape(rows, C).astype(
+            x.dtype)
+
+    def _pallas_path():
+        return _ln_core(x2, scale, bias, gate2, eps, interpret).reshape(
+            x.shape)
+
+    if impl == "xla":
+        return _ln_ref(x, scale, bias, gate, eps)
+    if impl == "pallas" or interpret:
+        return _pallas_path()
+    if rows % 8 != 0:
+        return _ln_ref(x, scale, bias, gate, eps)
+    # under the axon tunnel the default backend is 'tpu' even for programs
+    # lowered onto the virtual CPU mesh (multichip dryrun), where Pallas
+    # cannot lower -- decide per lowering platform like dwconv_pallas
+    return jax.lax.platform_dependent(
+        tpu=_pallas_path,
+        default=lambda: _ln_ref(x, scale, bias, gate, eps))

@@ -1,0 +1,91 @@
+"""Fused LayerNorm(+gate) Pallas kernel vs flax.linen.LayerNorm numerics
+(the reference's fused Triton layernorm analog --
+`mamba_ssm/ops/triton/layernorm.py`): forward, all gradients, bf16 I/O."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusionmamba_tpu.ops.ln_pallas import layer_norm_fused
+
+
+def _flax_ln(x, scale, bias, eps=1e-6):
+    mod = nn.LayerNorm(epsilon=eps)
+    return mod.apply({"params": {"scale": scale, "bias": bias}}, x)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 96), (4, 16, 192), (64, 384)])
+@pytest.mark.parametrize("has_gate", [False, True])
+def test_ln_forward_matches_flax(shape, has_gate):
+    rng = np.random.default_rng(0)
+    C = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    gate = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            if has_gate else None)
+    want = _flax_ln(x, scale, bias)
+    if has_gate:
+        want = want * gate
+    got = layer_norm_fused(x, scale, bias, gate, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("has_gate", [False, True])
+def test_ln_gradients(has_gate):
+    rng = np.random.default_rng(1)
+    shape, C = (2, 16, 96), 96
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    gate = (jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            if has_gate else None)
+    w = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def loss_fused(x, scale, bias, gate):
+        return jnp.sum(
+            layer_norm_fused(x, scale, bias, gate, interpret=True) * w)
+
+    def loss_ref(x, scale, bias, gate):
+        y = _flax_ln(x, scale, bias)
+        if gate is not None:
+            y = y * gate
+        return jnp.sum(y * w)
+
+    n = 4 if has_gate else 3
+    args = (x, scale, bias, gate)
+    g_got = jax.grad(loss_fused, argnums=tuple(range(n)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(n)))(*args)
+    for name, a, b in zip(["dx", "dscale", "dbias", "dgate"], g_got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"fused LN gradient mismatch: {name}")
+
+
+def test_ln_bf16_io():
+    rng = np.random.default_rng(2)
+    shape, C = (4, 32, 192), 192
+    x32 = rng.standard_normal(shape).astype(np.float32)
+    g32 = rng.standard_normal(shape).astype(np.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    want = _flax_ln(jnp.asarray(x32), scale, bias) * g32
+    got = layer_norm_fused(jnp.asarray(x32, jnp.bfloat16), scale, bias,
+                           jnp.asarray(g32, jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+def test_ln_odd_rows_falls_back():
+    """Row counts that don't tile fall back to the XLA path (auto mode)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 96)), jnp.float32)
+    scale = jnp.ones((96,), jnp.float32)
+    bias = jnp.zeros((96,), jnp.float32)
+    got = layer_norm_fused(x, scale, bias)
+    want = _flax_ln(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
