@@ -103,6 +103,19 @@ _MM_PRECISION = {
     "hilo": jax.lax.Precision.DEFAULT,
 }[_MM_MODE]
 
+# N-expansion / y-contraction strategy for the kernels' flat-lane layout:
+#   "concat" = N lane-broadcast multiplies concatenated into the F-wide
+#              array (and N broadcast-mul+adds for the y readout);
+#   "mm"     = ride the MXU: B/C rows are expanded with ONE dot against the
+#              exact block matrix E[n, n*d_blk+d] = 1 (single-1 rows, so
+#              products are exact; bf16 inputs expand exactly, fp32 goes
+#              through a Veltkamp hi/lo pair), the y readout contracts
+#              sum_n C_n*x_n with the transposed block matrix, and the
+#              D-tilings become plain block copies. Replaces the per-n
+#              lane-broadcast sequences (a cross-lane splat each) with MXU
+#              work that overlaps the VPU passes.
+_EXPAND_MODE = os.environ.get("FM_SCAN_EXPAND", "concat")
+
 # dB/dC gradient reductions in the backward kernel: "hilo"/"default"/
 # "highest" route the contraction over the d_blk lanes through the MXU as a
 # block-ones dot (one F-wide multiply + one (L,F)@(F,N) matmul) instead of N
@@ -427,6 +440,62 @@ def _grad_block_dot(prod: jax.Array, blockones: jax.Array) -> jax.Array:
                        preferred_element_type=jnp.float32)
 
 
+def _expand_nvals(v: jax.Array, d_blk: int) -> jax.Array:
+    """(T, L, N) -> (T, L, N*d_blk) fp32 with out[..., n*d_blk+d] = v[..., n].
+
+    MXU block-expansion dot against E[n, n*d_blk+d] = 1: every output
+    element is a single product with an exact 1, so bf16 inputs expand
+    EXACTLY; fp32 inputs go through a Veltkamp hi/lo pair (~3e-5 rel).
+    Replaces N cross-lane broadcast splats per expanded array.
+    """
+    T, L, N = v.shape
+    F = N * d_blk
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, F), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, F), 1)
+    E = (row == col // d_blk).astype(jnp.bfloat16)
+
+    def dot(m):
+        return jax.lax.dot(m, E, preferred_element_type=jnp.float32)
+
+    outs = []
+    for t in range(T):
+        if v.dtype == jnp.bfloat16:
+            outs.append(dot(v[t]))
+        else:
+            hi, lo = _veltkamp_split_bf16(v[t].astype(jnp.float32))
+            outs.append(dot(hi) + dot(lo))
+    return jnp.stack(outs)
+
+
+def _contract_nvals(v: jax.Array, N: int, d_blk: int) -> jax.Array:
+    """(T, L, N*d_blk) -> (T, L, d_blk): out[..., d] = sum_n v[..., n*d_blk+d]
+    via the transposed block matrix on the MXU (fp32 accumulation). The
+    block matrix is exact in bf16; the summands' rounding follows
+    FM_SCAN_MM_PREC ("default" = one bf16 pass, "hilo" = Veltkamp pair at
+    fp32 grade, "highest" = true-fp32 dots).
+    """
+    T, L, F = v.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (F, d_blk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (F, d_blk), 1)
+    R = (row % d_blk == col).astype(
+        jnp.bfloat16 if _MM_MODE == "hilo" else jnp.float32)
+
+    def dot1(m):
+        if _MM_MODE == "hilo":
+            hi, lo = _veltkamp_split_bf16(m)
+            return (jax.lax.dot(hi, R, preferred_element_type=jnp.float32)
+                    + jax.lax.dot(lo, R, preferred_element_type=jnp.float32))
+        return jax.lax.dot(m, R, precision=_MM_PRECISION,
+                           preferred_element_type=jnp.float32)
+
+    return jnp.stack([dot1(v[t]) for t in range(T)])
+
+
+def _tile_d(x: jax.Array, N: int) -> jax.Array:
+    """(T, L, d_blk) -> (T, L, N*d_blk) by block repetition (plain copies)."""
+    return jnp.concatenate([x] * N, axis=-1)
+
+
 def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
     """Shared prologue of the cumsum algorithm: per-group rescale factors.
 
@@ -449,12 +518,15 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
 
 
 def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
-                 parts=None):
+                 h0: jax.Array, parts=None):
     """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
-    a = exp(delta*A), x_{-1}=0, along axis -2. Same (a_cum, x) contract as
-    `_doubling_scan`. Only ONE expanded array (Z = b * exp(-S)) is scanned,
-    with a plain add-cumsum; groups of q rows are rescaled independently and
+    a = exp(delta*A) and x_{-1} = h0 (the chunk carry, (T, 1, F)), along
+    axis -2. Only ONE expanded array (Z = b * exp(-S)) is scanned, with a
+    plain add-cumsum; groups of q rows are rescaled independently and
     combined with the overflow-free (a, b) monoid on 1/q-size carries.
+    The carry is injected at GROUP level (a (T, G, F) fma) and the P-fold
+    happens once -- vs the previous a_cum materialization + F-wide fma
+    epilogue this saves three expanded-width VPU passes per chunk.
     `parts` lets a caller share one (P, Pinv) computation across scans.
     """
     T, L, F = b.shape
@@ -462,53 +534,49 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
     P, Pinv = parts or _rescaled_group_parts(delta, At, q)
     Z4 = (b * Pinv).reshape(T, G, q, F)
     P4 = P.reshape(T, G, q, F)
-    xloc4 = P4 * _cumsum_ax(Z4, q)
+    csum = _cumsum_ax(Z4, q)
     if G == 1:
-        return P, xloc4.reshape(T, L, F)
-    last = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2) == q - 1
+        return (P4 * (csum + h0[:, :, None, :])).reshape(T, L, F)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
+    last = idx == q - 1
     ga = jnp.sum(jnp.where(last, P4, 0.0), axis=2)       # group a-products
-    gx = jnp.sum(jnp.where(last, xloc4, 0.0), axis=2)    # group-local ends
-    ga_cum, gX = _doubling_scan(ga, gx)                  # over G (1/q size)
-    prev_x = jnp.concatenate(
-        [jnp.zeros((T, 1, F), gX.dtype), gX[:, : G - 1, :]], axis=1)
-    prev_a = jnp.concatenate(
-        [jnp.ones((T, 1, F), ga_cum.dtype), ga_cum[:, : G - 1, :]], axis=1)
-    x4 = xloc4 + P4 * prev_x[:, :, None, :]
-    acum4 = P4 * prev_a[:, :, None, :]
-    return acum4.reshape(T, L, F), x4.reshape(T, L, F)
+    # group-local end state = P_end * csum_end (the deferred P-fold)
+    gx = ga * jnp.sum(jnp.where(last, csum, 0.0), axis=2)
+    gb = jnp.concatenate([gx[:, :1] + ga[:, :1] * h0, gx[:, 1:]], axis=1)
+    _, gX = _doubling_scan(ga, gb)                       # over G (1/q size)
+    prev_x = jnp.concatenate([h0, gX[:, : G - 1, :]], axis=1)
+    x4 = P4 * (csum + prev_x[:, :, None, :])
+    return x4.reshape(T, L, F)
 
 
 def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
-                     q: int, parts=None):
-    """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1} (r_L = 0) with
-    a = exp(delta*A). Same (a_cum_rev, r) contract as `_doubling_scan_rev`."""
+                     q: int, gc: jax.Array, parts=None):
+    """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1}, seeded with
+    r_L = gc (the carry from the chunk to the right, (T, 1, F), already
+    multiplied by its leading a). Carry injection rides the group-level
+    chain -- vs the previous a_cum_rev materialization + F-wide fma this
+    saves four expanded-width VPU passes per chunk."""
     T, L, F = src.shape
     G = L // q
     P, Pinv = parts or _rescaled_group_parts(delta, At, q)
     P4 = P.reshape(T, G, q, F)
     Pinv4 = Pinv.reshape(T, G, q, F)
     V4 = _cumsum_ax((src * P).reshape(T, G, q, F), q, up=True)
-    rloc4 = Pinv4 * V4             # Pinv_l * sum_{s>=l in-group} P_s src_s
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
     ga = jnp.sum(jnp.where(idx == q - 1, P4, 0.0), axis=2)
     if G == 1:
-        acr = (ga[:, :, None, :] * Pinv4).reshape(T, L, F)
-        return acr, rloc4.reshape(T, L, F)
-    # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1},
-    # u_g = sum_{s in g} exp(S_s) src_s = P_first_g * rloc_first_g
+        return (Pinv4 * (V4 + (ga * gc)[:, :, None, :])).reshape(T, L, F)
+    # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1}
+    # with C_{G-1} = gc; u_g = sum_{s in g} exp(S_s) src_s is exactly row 0
+    # of V4 (one mask-reduce, avoids the P*Pinv rounding)
     first = idx == 0
-    # rloc_first = Pinv_first * V_first and P_first * Pinv_first == 1, so
-    # u_g = sum_{s in g} P_s src_s is exactly row 0 of V4: one mask-reduce
-    # instead of two plus a multiply (and avoids the P*Pinv rounding)
     u = jnp.sum(jnp.where(first, V4, 0.0), axis=2)
-    b_g = jnp.concatenate([u[:, 1:, :], jnp.zeros((T, 1, F), u.dtype)],
-                          axis=1)
+    b_g = jnp.concatenate([u[:, 1:, :], gc], axis=1)
     a_next = jnp.concatenate([ga[:, 1:, :], jnp.ones((T, 1, F), ga.dtype)],
                              axis=1)
-    acrG, C = _doubling_scan_rev(a_next, b_g)
-    r4 = rloc4 + Pinv4 * (ga * C)[:, :, None, :]
-    acr4 = Pinv4 * (ga * acrG)[:, :, None, :]
-    return acr4.reshape(T, L, F), r4.reshape(T, L, F)
+    _, C = _doubling_scan_rev(a_next, b_g)
+    r4 = Pinv4 * (V4 + (ga * C)[:, :, None, :])
+    return r4.reshape(T, L, F)
 
 
 def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
@@ -557,31 +625,39 @@ def _fwd_kernel(
 
     # save the incoming flat carry row for the backward recompute
     hsave_ref[:, 0, 0] = h_carry[:]
+    h0 = h_carry[:]                            # (T, 1, N*D_BLK)
 
     At = At_ref[:]                             # (T, N, D_BLK)
-    Bc = B_ref[:].astype(jnp.float32)          # (T, L_CHUNK, N)
-    Cc = C_ref[:].astype(jnp.float32)
     d_blk = delta.shape[-1]
+    mm = _EXPAND_MODE == "mm"
 
-    b = jnp.concatenate(
-        [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+    if mm:
+        b = _tile_d(du, N) * _expand_nvals(B_ref[:], d_blk)
+    else:
+        Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
+        b = jnp.concatenate(
+            [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
     q = _cumsum_q(delta.shape[-2])
     if q:
-        a_cum, x = _cumsum_scan(delta, At, b, q)
+        x = _cumsum_scan(delta, At, b, q, h0)
     else:
         a = jnp.exp(jnp.concatenate(
             [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _group_scan(a, b)           # (T, L_CHUNK, N*D_BLK)
-    x = x + a_cum * h_carry[:, 0:1, :]         # inject flat carry row
+        x = x + a_cum * h0                     # inject flat carry row
     h_carry[:, 0:1, :] = x[:, -1:, :]
 
     if has_D:
         y = u * D_ref[:]
     else:
         y = jnp.zeros_like(u)
-    for n in range(N):
-        sl = slice(n * d_blk, (n + 1) * d_blk)
-        y = y + Cc[:, :, n:n + 1] * x[:, :, sl]
+    if mm:
+        y = y + _contract_nvals(_expand_nvals(C_ref[:], d_blk) * x, N, d_blk)
+    else:
+        Cc = C_ref[:].astype(jnp.float32)
+        for n in range(N):
+            sl = slice(n * d_blk, (n + 1) * d_blk)
+            y = y + Cc[:, :, n:n + 1] * x[:, :, sl]
     out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -679,15 +755,26 @@ def _bwd_kernel(
     du_t = delta * u
 
     At = At_ref[:]                             # (T, N, D_BLK)
-    Bc = B_ref[:].astype(jnp.float32)          # (T, L_CHUNK, N)
-    Cc = C_ref[:].astype(jnp.float32)
     d_blk = delta.shape[-1]
+    mm = _EXPAND_MODE == "mm"
 
     # recompute forward states within the chunk from the saved flat carry
-    b = jnp.concatenate(
-        [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    src = jnp.concatenate(
-        [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+    if mm:
+        dut_t = _tile_d(du_t, N)
+        dy_t = _tile_d(dy, N)
+        b = dut_t * _expand_nvals(B_ref[:], d_blk)
+        src = _expand_nvals(C_ref[:], d_blk) * dy_t
+        Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
+    else:
+        dut_t = dy_t = None
+        Bc = B_ref[:].astype(jnp.float32)
+        Cc = C_ref[:].astype(jnp.float32)
+        b = jnp.concatenate(
+            [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+        src = jnp.concatenate(
+            [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+    h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
+    gc = g_carry[:]                            # carry from chunk to right
     # a is materialized in BOTH branches: the backward needs the exact
     # daa = g * a * x_prev -- the algebraic shortcut g * (x - b) loses
     # significance when |a*x_prev| << |b| (catastrophic cancellation in
@@ -709,22 +796,19 @@ def _bwd_kernel(
         pad1 = jnp.ones((Tt, Gg, 1, Ff), Pinv.dtype)
         a = (P4r * jnp.concatenate(
             [pad1, Pinv4r[:, :, : q - 1, :]], axis=2)).reshape(Tt, Ll, Ff)
-        a_cum, x = _cumsum_scan(delta, At, b, q, parts)
+        x = _cumsum_scan(delta, At, b, q, h0_flat, parts)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
-        acr, g = _cumsum_scan_rev(delta, At, src, q, parts)
+        g = _cumsum_scan_rev(delta, At, src, q, gc, parts)
     else:
         a = jnp.exp(jnp.concatenate(
             [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _group_scan(a, b)
+        x = x + a_cum * h0_flat                # h_l for l in chunk
         a_next = jnp.concatenate(
             [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
         acr, g = _group_scan_rev(a_next, src)
-    h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
-    x = x + a_cum * h0_flat                    # h_l for l in chunk
+        g = g + acr * gc                       # acr_l = prod_{i>l} a_i
     x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
-
-    # the carry from the chunk to the right already includes its leading a
-    g = g + acr * g_carry[:, 0:1, :]           # acr_l = prod_{i>l} a_i
     g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
 
     daa = g * x_prev * a                       # dL/da_l * a_l
@@ -769,8 +853,10 @@ def _bwd_kernel(
         # (mode-dependent -- see _GRAD_MM_MODE).
         T = g.shape[0]
         flatF = N * d_blk
-        prodB = g * jnp.concatenate([du_t] * N, axis=-1)
-        prodC = x * jnp.concatenate([dy] * N, axis=-1)
+        prodB = g * (dut_t if dut_t is not None
+                     else jnp.concatenate([du_t] * N, axis=-1))
+        prodC = x * (dy_t if dy_t is not None
+                     else jnp.concatenate([dy] * N, axis=-1))
         fblk = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 0) // d_blk
         ncol = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 1)
         blockones = (fblk == ncol).astype(

@@ -26,14 +26,18 @@ K = 4
 N = 16
 
 
+_DTYPE = jnp.float32
+_BATCH_OVR = None
+
+
 def make_args(L, D, seed=0):
     rng = np.random.default_rng(seed)
-    u = jnp.asarray(rng.standard_normal((BATCH, K, L, D)), jnp.float32)
-    dt = jnp.asarray(0.1 * rng.standard_normal((BATCH, K, L, D)),
-                     jnp.float32)
+    b = _BATCH_OVR or BATCH
+    u = jnp.asarray(rng.standard_normal((b, K, L, D)), _DTYPE)
+    dt = jnp.asarray(0.1 * rng.standard_normal((b, K, L, D)), _DTYPE)
     A = -jnp.exp(jnp.asarray(rng.uniform(0, 1.5, (K, D, N)), jnp.float32))
-    Bm = jnp.asarray(rng.standard_normal((BATCH, K, L, N)), jnp.float32)
-    Cm = jnp.asarray(rng.standard_normal((BATCH, K, L, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((b, K, L, N)), _DTYPE)
+    Cm = jnp.asarray(rng.standard_normal((b, K, L, N)), _DTYPE)
     Dp = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
     bias = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
     return u, dt, A, Bm, Cm, Dp, bias
@@ -67,7 +71,13 @@ def main():
                     help="bench only the first N stage configs")
     ap.add_argument("--algos", action="store_true",
                     help="compare FM_SCAN_ALGO variants in subprocesses")
+    ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
+    global _DTYPE, _BATCH_OVR
+    if args.dtype == "bf16":
+        _DTYPE = jnp.bfloat16
+    _BATCH_OVR = args.batch
     if args.algos:
         compare_algos()
         return
