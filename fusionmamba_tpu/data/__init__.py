@@ -1,3 +1,5 @@
-from .datasets import DatasetRoots, FusionDataset, batch_iterator
+from .datasets import (DatasetRoots, FusionDataset,
+                       SyntheticFusionDataset, batch_iterator)
 
-__all__ = ["DatasetRoots", "FusionDataset", "batch_iterator"]
+__all__ = ["DatasetRoots", "FusionDataset", "SyntheticFusionDataset",
+           "batch_iterator"]

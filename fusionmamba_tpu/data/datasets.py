@@ -246,6 +246,52 @@ class FusionDataset:
             f"All attempts to load images failed for {self.dataset_name}")
 
 
+class SyntheticFusionDataset:
+    """Drop-in stand-in for `FusionDataset` yielding deterministic random
+    pairs (and labels), so the train/eval CLIs can be driven end-to-end on
+    machines where the real datasets (reference `README.md` download links)
+    are unavailable. Item contract matches `FusionDataset.__getitem__`:
+    (vis_y, ir) float32 HWC in [0,1], plus an int32 HW label when
+    `num_classes` is set (binary for num_classes=1, matching acod's
+    thresholded GT; class ids otherwise).
+    """
+
+    def __init__(self, length: int = 32, size: tuple = (256, 256),
+                 num_classes: int | None = None, seed: int = 0):
+        self.length = length
+        self.size = size
+        self.num_classes = num_classes
+        self.seed = seed
+
+    @property
+    def has_labels(self) -> bool:
+        return self.num_classes is not None
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        h, w = self.size
+        # smooth low-frequency fields (upsampled coarse noise) look closer
+        # to natural images than white noise: losses/metrics get realistic
+        # gradients and SSIM windows see structure
+        def field():
+            coarse = rng.uniform(0, 1, (h // 16, w // 16)).astype(np.float32)
+            return np.kron(coarse, np.ones((16, 16), np.float32))
+        vis_y = field()[..., None]
+        ir = field()[..., None]
+        if self.num_classes is None:
+            return vis_y, ir
+        if self.num_classes == 1:
+            lbl = (field() > 0.5).astype(np.int32)
+        else:
+            lbl = rng.integers(0, self.num_classes,
+                               (h // 32, w // 32)).astype(np.int32)
+            lbl = np.kron(lbl, np.ones((32, 32), np.int32))
+        return vis_y, ir, lbl
+
+
 def batch_iterator(ds: FusionDataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
                    epochs: int | None = 1) -> Iterator[tuple]:

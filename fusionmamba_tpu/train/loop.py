@@ -37,17 +37,28 @@ def poly_lr(base_lr: float, step: int, max_iter: int,
     return base_lr * (1.0 - step / max_iter) ** power
 
 
-def make_fusion_optimizer(lr: float | Callable = 1e-4) -> optax.GradientTransformation:
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+def make_fusion_optimizer(lr: float | Callable = 1e-4,
+                          flatten: bool = True) -> optax.GradientTransformation:
+    """Adam with the reference's lr handling (`train.py:125-131`).
+
+    flatten=True wraps the update in `optax.flatten`: moments live as ONE
+    concatenated vector, so the Adam step compiles to a few full-width
+    fused ops instead of one tiny fusion per parameter tensor (~200 of
+    them, none wide enough to use the VPU well -- measured ~15 ms/step at
+    b24). Pass flatten=False when optimizer moments must keep per-param
+    shardings (the tensor-parallel path, see `opt_state_shardings`)."""
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return optax.flatten(tx) if flatten else tx
 
 
 def make_seg_optimizer(lr: float = 5e-5, clip: float = 1.0,
-                       weight_decay: float = 0.01):
-    return optax.chain(
+                       weight_decay: float = 0.01, flatten: bool = True):
+    tx = optax.chain(
         optax.clip_by_global_norm(clip),
         optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
                                               weight_decay=weight_decay),
     )
+    return optax.flatten(tx) if flatten else tx
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:

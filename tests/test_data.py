@@ -92,3 +92,24 @@ def test_y_extraction_and_reinjection():
     assert out.shape == rgb.shape and out.dtype == np.uint8
     # re-injecting the image's own Y channel approximately reproduces it
     assert np.mean(np.abs(out.astype(int) - rgb.astype(int))) < 3.0
+
+
+def test_synthetic_dataset_contract():
+    from fusionmamba_tpu.data import SyntheticFusionDataset, batch_iterator
+
+    ds = SyntheticFusionDataset(length=5, size=(64, 64))
+    assert len(ds) == 5 and not ds.has_labels
+    vis_y, ir = ds[0]
+    assert vis_y.shape == (64, 64, 1) and ir.shape == (64, 64, 1)
+    assert vis_y.dtype == np.float32 and 0 <= vis_y.min() <= vis_y.max() <= 1
+    np.testing.assert_array_equal(ds[0][0], vis_y)  # deterministic
+
+    seg = SyntheticFusionDataset(length=4, size=(64, 64), num_classes=9)
+    v, i, lbl = seg[2]
+    assert lbl.shape == (64, 64) and lbl.dtype == np.int32
+    assert lbl.min() >= 0 and lbl.max() < 9
+    batches = list(batch_iterator(seg, 2, shuffle=False))
+    assert len(batches) == 2 and batches[0][2].shape == (2, 64, 64)
+
+    binary = SyntheticFusionDataset(length=2, size=(32, 32), num_classes=1)
+    assert set(np.unique(binary[0][2])).issubset({0, 1})

@@ -30,6 +30,10 @@ def parse_args():
                          "stay fp32; the SSM scan always runs fp32; fp32 is "
                          "faster on v5e -- matmuls already use bf16 MXU "
                          "passes, bf16 activations just add converts)")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="train on N deterministic synthetic pairs instead "
+                         "of the on-disk dataset (drives the full CLI "
+                         "end-to-end without the reference datasets)")
     return ap.parse_args()
 
 
@@ -40,7 +44,8 @@ def train_fusion(args, dataset_name: str, logger):
     from fusionmamba_tpu.checkpoints.orbax_io import (
         checkpoint_exists, load_checkpoint, save_checkpoint)
     from fusionmamba_tpu.config import full_config, tiny_config
-    from fusionmamba_tpu.data import FusionDataset, batch_iterator
+    from fusionmamba_tpu.data import (FusionDataset, SyntheticFusionDataset,
+                                      batch_iterator)
     from fusionmamba_tpu.models import VSSMFusion
     from fusionmamba_tpu.parallel.sharding import batch_sharding, make_mesh
     from fusionmamba_tpu.train import (
@@ -66,7 +71,8 @@ def train_fusion(args, dataset_name: str, logger):
         model, compute_dtype=(jnp.bfloat16 if args.precision == "bf16"
                               else jnp.float32))
 
-    ds = FusionDataset(split="train", dataset_name=dataset_name)
+    ds = (SyntheticFusionDataset(length=args.synthetic) if args.synthetic
+          else FusionDataset(split="train", dataset_name=dataset_name))
     n_devices = jax.local_device_count()
     mesh = make_mesh(n_devices, 1)
     bs = batch_sharding(mesh)
