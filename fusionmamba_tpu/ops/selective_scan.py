@@ -6,6 +6,9 @@ routes to one of three implementations:
   * "ref"    -- sequential `lax.scan` oracle (scan_ref.py)
   * "assoc"  -- `lax.associative_scan` pure-XLA path (scan_assoc.py)
   * "pallas" -- fused Pallas TPU kernel (scan_pallas.py)
+  * "sp"     -- sequence-parallel over the ambient mesh's "model" axis
+                (parallel/seq_scan.py; local scans use "auto"); for
+                >=1k-resolution inputs where L justifies cross-chip scans
   * "auto"   -- pallas on TPU backends, assoc elsewhere
 
 Canonical layout (channels-last, TPU-native):
@@ -25,7 +28,8 @@ from .scan_assoc import selective_scan_assoc
 from .scan_pallas import selective_scan_pallas
 from .scan_ref import selective_scan_ref
 
-_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "bypass")
+_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "sp",
+          "bypass")
 
 
 def _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
@@ -70,6 +74,16 @@ def selective_scan(
         return selective_scan_assoc(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
             return_last_state)
+    if impl == "sp":
+        if return_last_state:
+            raise NotImplementedError(
+                "impl='sp' does not expose the last state (the carry is an "
+                "internal cross-chip exchange); use 'assoc'/'ref'")
+        # lazy import: parallel.seq_scan imports this module
+        from ..parallel.seq_scan import selective_scan_seq_parallel
+        return selective_scan_seq_parallel(
+            u, delta, A, Bmat, Cmat, D, delta_bias,
+            delta_softplus=delta_softplus, batch_axis="data")
     if impl == "bypass":
         # timing-ablation stub: correct shapes, no scan math (NOT a model)
         out = u * 1.0001 + 0.0001 * jnp.sum(Bmat * Cmat, axis=-1,

@@ -52,20 +52,37 @@ def selective_scan_seq_parallel(
     delta_bias: jax.Array | None = None,
     delta_softplus: bool = False,
     *,
-    mesh: Mesh,
+    mesh: Mesh | None = None,
     axis: str = "model",
+    batch_axis: str | None = None,
     impl: str = "auto",
 ):
     """Run the selective scan with L sharded over `mesh[axis]`.
 
     Returns y (B, K, L, D) sharded the same way. Differentiable (the body
     is plain jax; shard_map transposes the collectives automatically).
+
+    mesh=None resolves the ambient mesh (`jax.sharding.set_mesh`), which is
+    how the model layer reaches this path: `scan_impl="sp"` on SS2D routes
+    here through `ops.selective_scan` without threading a Mesh through the
+    module tree. `batch_axis` additionally shards B (data parallelism) when
+    it divides the batch; collectives still ride only `axis`.
     """
+    if mesh is None:
+        mesh = jax.sharding.get_mesh()
+        if mesh.empty:
+            raise ValueError(
+                "impl='sp' needs a mesh: pass mesh=... or set the ambient "
+                "mesh with jax.sharding.set_mesh(make_mesh(...))")
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh {tuple(mesh.shape)} has no axis {axis!r}")
     n_shards = mesh.shape[axis]
     L = u.shape[2]
     assert L % n_shards == 0, (L, n_shards)
 
-    lspec = P(None, None, axis, None)
+    b_ax = (batch_axis if batch_axis and batch_axis in mesh.shape
+            and u.shape[0] % mesh.shape[batch_axis] == 0 else None)
+    lspec = P(b_ax, None, axis, None)
     rep = P()
 
     def body(u_s, dt_s, A_r, B_s, C_s, D_r, bias_r):

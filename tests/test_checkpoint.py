@@ -75,6 +75,46 @@ def test_torch_key_names(tiny_params):
         assert k in sd, f"missing torch key {k}"
 
 
+def test_orbax_async_save_and_sharded_restore(tmp_path):
+    """orbax_io: a non-blocking save joins via wait_for_saves(), and a
+    restore whose target lives on a mesh comes back IN that sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fusionmamba_tpu.checkpoints.orbax_io import (
+        load_checkpoint, save_checkpoint, wait_for_saves)
+    from fusionmamba_tpu.parallel import make_mesh
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("need 4 cpu devices")
+    mesh = make_mesh(2, 2, devices=cpus[:4])
+    w = jax.device_put(
+        jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+        NamedSharding(mesh, P("model", None)))
+    b = jax.device_put(jnp.ones((4,), jnp.float32),
+                       NamedSharding(mesh, P()))
+    tree = {"w": w, "b": b}
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tree, blocking=False)
+    wait_for_saves()
+
+    back = load_checkpoint(path, tree)
+    assert back["w"].sharding.spec == P("model", None)
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(b))
+
+    # cross-topology restore: the mesh-saved checkpoint loads onto a single
+    # device when the target says so (ShapeDtypeStructs pass through
+    # _abstract_leaf untouched, carrying their shardings)
+    s0 = jax.sharding.SingleDeviceSharding(cpus[0])
+    host = {"w": jax.ShapeDtypeStruct((8, 4), jnp.float32, sharding=s0),
+            "b": jax.ShapeDtypeStruct((4,), jnp.float32, sharding=s0)}
+    back2 = load_checkpoint(path, host)
+    assert back2["w"].sharding == s0
+    np.testing.assert_array_equal(np.asarray(back2["w"]), np.asarray(w))
+
+
 def test_shapes_match_torch_conventions(tiny_params):
     cfg, params = tiny_params
     sd = export_torch_state_dict(params, cfg.depths, cfg.depths_decoder)

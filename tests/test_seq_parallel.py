@@ -61,6 +61,50 @@ def test_gradients_match_single_device():
             err_msg=f"grad mismatch for {name}")
 
 
+def test_sp_impl_resolves_ambient_mesh():
+    """`selective_scan(impl="sp")` — the model-layer route (SS2D
+    scan_impl="sp") — picks up the mesh set with jax.sharding.set_mesh."""
+    mesh = _cpu_mesh(2, 4)
+    rng = np.random.default_rng(8)
+    u, delta, A, B, C, D, bias = make_inputs(rng, batch=2, K=2, L=64, dim=8,
+                                             N=4)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+    with jax.sharding.set_mesh(mesh):
+        got = selective_scan(*args, delta_softplus=True, impl="sp")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4, atol=2e-3)
+
+    with pytest.raises(ValueError, match="needs a mesh"):
+        selective_scan(*args, delta_softplus=True, impl="sp")
+
+
+def test_ss2d_scan_impl_sp_matches_single_device():
+    """SS2D(scan_impl="sp") under an ambient mesh reproduces the
+    single-device module bit-for-bit-ish (same params via same rng)."""
+    from fusionmamba_tpu.nn.ss2d import SS2D
+
+    mesh = _cpu_mesh(2, 4)
+    cpu0 = jax.devices("cpu")[0]
+    rng = np.random.default_rng(9)
+    x = jax.device_put(
+        jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32)), cpu0)
+
+    ref_mod = SS2D(d_model=16, d_state=4, scan_impl="assoc")
+    sp_mod = SS2D(d_model=16, d_state=4, scan_impl="sp")
+    with jax.default_device(cpu0):
+        params = ref_mod.init(jax.random.PRNGKey(0), x)
+        want = ref_mod.apply(params, x)
+    # under an ambient mesh every jitted op runs on the mesh, so operands
+    # must live there (replicated; shard_map re-splits L internally)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    x_m = jax.device_put(x, rep)
+    params_m = jax.device_put(params, rep)
+    with jax.sharding.set_mesh(mesh):
+        got = sp_mod.apply(params_m, x_m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_inputs_stay_sharded():
     mesh = _cpu_mesh(2, 4)
     rng = np.random.default_rng(7)

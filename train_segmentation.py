@@ -37,6 +37,9 @@ def parse_args():
                     help="compute dtype for the train step (master params "
                          "stay fp32; the SSM scan always runs fp32; fp32 is "
                          "faster on v5e -- see train/loop.py)")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="train/eval on N deterministic synthetic labeled "
+                         "pairs instead of the on-disk dataset")
     return ap.parse_args()
 
 
@@ -86,9 +89,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fusionmamba_tpu.checkpoints.orbax_io import save_checkpoint
+    from fusionmamba_tpu.checkpoints.orbax_io import (save_checkpoint,
+                                                      wait_for_saves)
     from fusionmamba_tpu.config import full_config, tiny_config
-    from fusionmamba_tpu.data import FusionDataset, batch_iterator
+    from fusionmamba_tpu.data import (FusionDataset, SyntheticFusionDataset,
+                                      batch_iterator)
     from fusionmamba_tpu.losses import compute_class_weights
     from fusionmamba_tpu.models import VSSMFusionSeg
     from fusionmamba_tpu.train import (
@@ -106,9 +111,15 @@ def main():
     cfg = cfg_fn(scan_impl=args.scan_impl, num_seg_classes=num_classes)
     model = VSSMFusionSeg(cfg)
 
-    train_ds = FusionDataset(split="train", dataset_name=args.dataset)
-    test_ds = (FusionDataset(split="test", dataset_name=args.dataset)
-               if args.dataset in ("mfnet", "pst900") else None)
+    if args.synthetic:
+        train_ds = SyntheticFusionDataset(length=args.synthetic,
+                                          num_classes=num_classes)
+        test_ds = SyntheticFusionDataset(length=max(2, args.synthetic // 4),
+                                         num_classes=num_classes, seed=1)
+    else:
+        train_ds = FusionDataset(split="train", dataset_name=args.dataset)
+        test_ds = (FusionDataset(split="test", dataset_name=args.dataset)
+                   if args.dataset in ("mfnet", "pst900") else None)
 
     class_weights = None
     improved = False
@@ -158,14 +169,17 @@ def main():
                             f"segmentation_model_{args.dataset}")
         tree = {"params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats)}
-        save_checkpoint(ckpt, tree)
+        # async: serialization overlaps the next epoch (orbax joins any
+        # in-flight save before starting another); wait_for_saves() at exit
+        save_checkpoint(ckpt, tree, blocking=False)
         if test_ds is not None and epoch % args.eval_interval == 0:
             scores = evaluate(model, tree, test_ds, num_classes,
                               batch_size, logger)
             if scores["mean_iou"] > best_miou:
                 best_miou = scores["mean_iou"]
-                save_checkpoint(ckpt + "_best", tree)
+                save_checkpoint(ckpt + "_best", tree, blocking=False)
                 logger.info(f"new best mIoU {best_miou:.4f}")
+    wait_for_saves()
 
 
 if __name__ == "__main__":
