@@ -518,7 +518,7 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
 
 
 def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
-                 h0: jax.Array, parts=None):
+                 h0: jax.Array, parts=None, return_parts: bool = False):
     """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
     a = exp(delta*A) and x_{-1} = h0 (the chunk carry, (T, 1, F)), along
     axis -2. Only ONE expanded array (Z = b * exp(-S)) is scanned, with a
@@ -528,6 +528,11 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
     happens once -- vs the previous a_cum materialization + F-wide fma
     epilogue this saves three expanded-width VPU passes per chunk.
     `parts` lets a caller share one (P, Pinv) computation across scans.
+
+    With return_parts=True also returns the PRE-RESCALE pieces the backward
+    kernel's daa factorization needs: (x, W4, prev_x) where x = P4 * W4
+    (W4 rank-4 (T, G, q, F)) and prev_x (T, G, F) is the state entering
+    each group (h0 for group 0).
     """
     T, L, F = b.shape
     G = L // q
@@ -536,7 +541,11 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
     P4 = P.reshape(T, G, q, F)
     csum = _cumsum_ax(Z4, q)
     if G == 1:
-        return (P4 * (csum + h0[:, :, None, :])).reshape(T, L, F)
+        W4 = csum + h0[:, :, None, :]
+        x = (P4 * W4).reshape(T, L, F)
+        if return_parts:
+            return x, W4, h0
+        return x
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
     last = idx == q - 1
     ga = jnp.sum(jnp.where(last, P4, 0.0), axis=2)       # group a-products
@@ -545,17 +554,25 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
     gb = jnp.concatenate([gx[:, :1] + ga[:, :1] * h0, gx[:, 1:]], axis=1)
     _, gX = _doubling_scan(ga, gb)                       # over G (1/q size)
     prev_x = jnp.concatenate([h0, gX[:, : G - 1, :]], axis=1)
-    x4 = P4 * (csum + prev_x[:, :, None, :])
-    return x4.reshape(T, L, F)
+    W4 = csum + prev_x[:, :, None, :]
+    x = (P4 * W4).reshape(T, L, F)
+    if return_parts:
+        return x, W4, prev_x
+    return x
 
 
 def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
-                     q: int, gc: jax.Array, parts=None):
+                     q: int, gc: jax.Array, parts=None,
+                     return_parts: bool = False):
     """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1}, seeded with
     r_L = gc (the carry from the chunk to the right, (T, 1, F), already
     multiplied by its leading a). Carry injection rides the group-level
     chain -- vs the previous a_cum_rev materialization + F-wide fma this
-    saves four expanded-width VPU passes per chunk."""
+    saves four expanded-width VPU passes per chunk.
+
+    With return_parts=True also returns G2 (rank-4 (T, G, q, F)) with
+    r = Pinv4 * G2 -- the pre-rescale adjoint the backward's daa
+    factorization consumes."""
     T, L, F = src.shape
     G = L // q
     P, Pinv = parts or _rescaled_group_parts(delta, At, q)
@@ -565,7 +582,11 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
     ga = jnp.sum(jnp.where(idx == q - 1, P4, 0.0), axis=2)
     if G == 1:
-        return (Pinv4 * (V4 + (ga * gc)[:, :, None, :])).reshape(T, L, F)
+        G2 = V4 + (ga * gc)[:, :, None, :]
+        r = (Pinv4 * G2).reshape(T, L, F)
+        if return_parts:
+            return r, G2
+        return r
     # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1}
     # with C_{G-1} = gc; u_g = sum_{s in g} exp(S_s) src_s is exactly row 0
     # of V4 (one mask-reduce, avoids the P*Pinv rounding)
@@ -575,8 +596,11 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
     a_next = jnp.concatenate([ga[:, 1:, :], jnp.ones((T, 1, F), ga.dtype)],
                              axis=1)
     _, C = _doubling_scan_rev(a_next, b_g)
-    r4 = Pinv4 * (V4 + (ga * C)[:, :, None, :])
-    return r4.reshape(T, L, F)
+    G2 = V4 + (ga * C)[:, :, None, :]
+    r = (Pinv4 * G2).reshape(T, L, F)
+    if return_parts:
+        return r, G2
+    return r
 
 
 def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
@@ -775,30 +799,28 @@ def _bwd_kernel(
             [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     gc = g_carry[:]                            # carry from chunk to right
-    # a is materialized in BOTH branches: the backward needs the exact
-    # daa = g * a * x_prev -- the algebraic shortcut g * (x - b) loses
-    # significance when |a*x_prev| << |b| (catastrophic cancellation in
-    # the dA/ddelta accumulations)
     q = _cumsum_q(delta.shape[-2])
     if q:
         parts = _rescaled_group_parts(delta, At, q)   # shared by both scans
-        P, Pinv = parts
-        # a = exp(delta*A) recovered from the rescale parts: within each
-        # q-row group the inclusive group-relative decay satisfies
-        # P_l = P_{l-1} * a_l, so a = P * shift_down(Pinv) with 1-fill at
-        # group starts -- one shift+multiply instead of an expanded
-        # concat+exp. Exact up to rounding except where the +-_CLIP
-        # saturated S (the same regime the P/Pinv math already deviates in).
-        Tt, Ll, Ff = P.shape
-        Gg = Ll // q
-        P4r = P.reshape(Tt, Gg, q, Ff)
-        Pinv4r = Pinv.reshape(Tt, Gg, q, Ff)
-        pad1 = jnp.ones((Tt, Gg, 1, Ff), Pinv.dtype)
-        a = (P4r * jnp.concatenate(
-            [pad1, Pinv4r[:, :, : q - 1, :]], axis=2)).reshape(Tt, Ll, Ff)
-        x = _cumsum_scan(delta, At, b, q, h0_flat, parts)
+        x, W4, prev_x = _cumsum_scan(delta, At, b, q, h0_flat, parts,
+                                     return_parts=True)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
-        g = _cumsum_scan_rev(delta, At, src, q, gc, parts)
+        g, G2 = _cumsum_scan_rev(delta, At, src, q, gc, parts,
+                                 return_parts=True)
+        # daa = g * a * x_prev with the group rescales cancelled
+        # ALGEBRAICALLY: within a group a_l = P_l Pinv_{l-1},
+        # x_{l-1} = P_{l-1} W_{l-1} and g_l = Pinv_l G2_l, so
+        # daa_l = G2_l * W_{l-1} exactly -- no a materialization (saves a
+        # shift+mul), no P*Pinv rounding, and no cancellation (a pure
+        # product, unlike the rejected g*(x-b) shortcut). At group starts
+        # W_{l-1} is the state entering the group (prev_x); at the chunk
+        # head a_0 g_0 = G2_0 directly (P_0 = a_0), which also serves as
+        # the outgoing gradient carry.
+        Tt, Gg, q_, Ff = G2.shape
+        Wsh = jnp.concatenate(
+            [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
+        daa = (G2 * Wsh).reshape(Tt, Gg * q_, Ff)
+        g_carry[:, 0:1, :] = G2[:, 0, 0:1, :]
     else:
         a = jnp.exp(jnp.concatenate(
             [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
@@ -808,10 +830,12 @@ def _bwd_kernel(
             [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
         acr, g = _group_scan_rev(a_next, src)
         g = g + acr * gc                       # acr_l = prod_{i>l} a_i
-    x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
-    g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
-
-    daa = g * x_prev * a                       # dL/da_l * a_l
+        x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
+        g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
+        # the backward needs the exact daa = g * a * x_prev -- the algebraic
+        # shortcut g * (x - b) loses significance when |a*x_prev| << |b|
+        # (catastrophic cancellation in the dA/ddelta accumulations)
+        daa = g * x_prev * a                   # dL/da_l * a_l
 
     if has_D:
         du_acc = dy * D_ref[:]
