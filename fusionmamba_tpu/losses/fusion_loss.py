@@ -24,9 +24,10 @@ _DIFF_Y = (1.0, 0.0, -1.0)
 
 
 def sobel_xy(x: jnp.ndarray) -> jnp.ndarray:
-    """|sobel_x| + |sobel_y| on NHWC single-channel, SAME (zero) padding,
-    as separable banded matmuls (single-channel depthwise convs waste
-    127/128 VPU lanes on TPU -- see `losses/ssim.py:_band_matrix`)."""
+    """|sobel_x| + |sobel_y| with SAME (zero) padding, as separable banded
+    matmuls (single-channel depthwise convs waste 127/128 VPU lanes on TPU
+    -- see `losses/ssim.py:_band_matrix`). Accepts (B, H, W) -- the
+    copy-free layout -- or NHWC; rank is preserved."""
     gx = sep_filter2d(x, _SMOOTH, _DIFF_X, same=True)
     gy = sep_filter2d(x, _DIFF_Y, _SMOOTH, same=True)
     return jnp.abs(gx) + jnp.abs(gy)
@@ -43,7 +44,12 @@ def fusion_loss(image_vis_y: jnp.ndarray, image_ir: jnp.ndarray,
                 generate_img: jnp.ndarray,
                 w_ssim: float = 100.0, w_in: float = 10.0,
                 w_grad: float = 1.0) -> FusionLossOutput:
-    image_y = image_vis_y[..., :1]
+    # squeeze the C=1 axis: the whole pipeline (banded matmuls, pools,
+    # elementwise) runs rank-3 (B, H, W) where XLA tiles (h, w) minor --
+    # the NHWC C=1 form costs ~16 ms/step in layout copies at b24
+    image_y = image_vis_y[..., 0]
+    image_ir = image_ir[..., 0]
+    generate_img = generate_img[..., 0]
     x_in_max = jnp.maximum(image_y, image_ir)
 
     ms1 = msssim(generate_img, image_y, normalize=True)

@@ -59,10 +59,21 @@ def _band_matrix(taps: tuple, L: int, same: bool) -> np.ndarray:
 
 def sep_filter2d(x: jnp.ndarray, taps_h: tuple, taps_w: tuple,
                  same: bool = False) -> jnp.ndarray:
-    """Separable 2-D filter on NHWC via two banded matmuls (fp32 MXU)."""
+    """Separable 2-D filter via two banded matmuls (fp32 MXU).
+
+    Accepts (B, H, W) -- the fast path: both dots contract a naturally
+    minor (h or w) axis, so no relayout -- or NHWC (B, H, W, C). A
+    trailing C=1 axis is poison for the rank-4 einsum: XLA tiles the two
+    minor dims (w, c) as (8, 128) with c=1 in lanes, 1/128 utilization,
+    and surrounds every dot with layout copies (~16 ms/step measured at
+    b24); callers squeeze to rank-3 instead (`ssim` does it implicitly).
+    """
     Bh = jnp.asarray(_band_matrix(taps_h, x.shape[1], same))
     Bw = jnp.asarray(_band_matrix(taps_w, x.shape[2], same))
     hp = jax.lax.Precision.HIGHEST  # sigma = E[x^2]-mu^2 cancels ~1e-3;
+    if x.ndim == 3:
+        y = jnp.einsum("bhw,hj->bjw", x, Bh, precision=hp)
+        return jnp.einsum("bjw,wk->bjk", y, Bw, precision=hp)
     y = jnp.einsum("bhwc,hj->bjwc", x, Bh, precision=hp)
     return jnp.einsum("bjwc,wk->bjkc", y, Bw, precision=hp)
 
@@ -74,7 +85,11 @@ def _depthwise_valid(x: jnp.ndarray, gi: tuple) -> jnp.ndarray:
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          val_range: float | None = None, full: bool = False):
-    """img1, img2: (B, H, W, C). Returns scalar mean SSIM (and cs if full)."""
+    """img1, img2: (B, H, W, C) or (B, H, W). Returns scalar mean SSIM
+    (and cs if full). Single-channel NHWC is squeezed to rank-3 so the
+    banded matmuls run in the copy-free layout (see `sep_filter2d`)."""
+    if img1.ndim == 4 and img1.shape[-1] == 1:
+        img1, img2 = img1[..., 0], img2[..., 0]
     if val_range is None:
         max_val = jnp.where(jnp.max(img1) > 128.0, 255.0, 1.0)
         min_val = jnp.where(jnp.min(img1) < -0.5, -1.0, 0.0)
@@ -105,12 +120,15 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
 
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    dims = (1, 2, 2, 1)[: x.ndim]
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+        x, 0.0, jax.lax.add, dims, dims, "VALID") / 4.0
 
 
 def msssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
            val_range: float | None = None, normalize: bool = False):
+    if img1.ndim == 4 and img1.shape[-1] == 1:
+        img1, img2 = img1[..., 0], img2[..., 0]
     weights = jnp.asarray(_MSSSIM_WEIGHTS, jnp.float32)
     levels = len(_MSSSIM_WEIGHTS)
     mssim, mcs = [], []
