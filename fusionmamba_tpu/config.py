@@ -23,7 +23,11 @@ class FusionModelConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
-    norm_eps: float = 1e-5
+    # eps of the VSSBlock/VSSBlockCross pre-norms: the reference builds them
+    # with partial(nn.LayerNorm, eps=1e-6) (`models/cross.py:1267,1302`).
+    # SS2D out_norm / BiAttn / patch norms use the torch DEFAULT 1e-5 and
+    # are hardcoded to 1e-5 at their call sites.
+    norm_eps: float = 1e-6
     patch_norm: bool = True
     scan_impl: str = "auto"
     # rematerialize each VSSBlock in the backward pass (jax.checkpoint):
@@ -43,6 +47,14 @@ class FusionModelConfig:
     fused_tail: bool = True
     # segmentation
     num_seg_classes: int = 9
+
+    def __post_init__(self):
+        # "bypass" is a timing-ablation stub in ops/selective_scan.py, NOT a
+        # model: it must be unreachable from a model config
+        allowed = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "sp")
+        if self.scan_impl not in allowed:
+            raise ValueError(
+                f"scan_impl must be one of {allowed}, got {self.scan_impl!r}")
 
     @property
     def dims_decoder(self) -> Tuple[int, ...]:

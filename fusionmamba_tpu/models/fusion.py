@@ -188,15 +188,6 @@ class VSSMFusion(nn.Module):
         self.final_up = FinalPatchExpand(dims_dec[-1], scale=4)
         self.final_conv = _FinalConv(dims_dec[-1] // 4, scale=4)
 
-    def encode(self, x, embed, deterministic=True):
-        skips = []
-        x = embed(x)
-        x = self.pos_drop(x, deterministic=deterministic)
-        for layer in self.layers:
-            skips.append(x)
-            x = layer(x, deterministic=deterministic)
-        return x, skips
-
     def encode_pair(self, x1, x2, deterministic=True):
         """Run the SHARED encoder trunk once on both modalities batched
         together (2B). The reference iterates `self.layers` twice with the

@@ -125,7 +125,8 @@ class BiAttn(nn.Module):
     def __call__(self, x):  # NHWC
         reduce_ch = int(self.in_channels * self.act_ratio)
         ori = x
-        x = FusedLayerNorm(name="norm")(x)
+        # eps 1e-5 = torch nn.LayerNorm default (`models/cross.py:748`)
+        x = FusedLayerNorm(epsilon=1e-5, name="norm")(x)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = gelu_exact(Dense(reduce_ch, name="global_reduce")(g))
         attn = jax.nn.sigmoid(Dense(self.in_channels, name="channel_select")(g))

@@ -15,6 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
+from .layers import FusedLayerNorm
+
+# the reference patch ops use bare torch nn.LayerNorm -> eps 1e-5
+# (`vmamba_Fusion_efficross.py:151-255`); FusedLayerNorm routes the hot
+# (B, H, W, C) norms through the Pallas LN kernel (ops/ln_pallas.py)
+_EPS = 1e-5
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,7 +53,7 @@ class PatchEmbed(nn.Module):
             kernel_init=torch_conv_kernel(),
             bias_init=torch_conv_bias(fan_in), name="proj")(x)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = FusedLayerNorm(epsilon=_EPS, name="norm")(x)
         return x
 
 
@@ -65,7 +71,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = FusedLayerNorm(epsilon=_EPS, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False,
                      kernel_init=trunc_normal(0.02), name="reduction")(x)
         return x
@@ -85,7 +91,7 @@ class PatchExpand(nn.Module):
                      kernel_init=trunc_normal(0.02), name="expand")(x)
         x = x.reshape(B, H, W, 2, 2, c_out)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, c_out)
-        x = nn.LayerNorm(name="norm")(x)
+        x = FusedLayerNorm(epsilon=_EPS, name="norm")(x)
         return x
 
 
@@ -125,7 +131,7 @@ class FinalPatchExpand(nn.Module):
         if not compact:
             x = x.reshape(B, H, W, s, s, c_out)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, c_out)
-            x = nn.LayerNorm(name="norm")(x)
+            x = FusedLayerNorm(epsilon=_EPS, name="norm")(x)
             return x
         gamma, beta = _LNParams(c_out, name="norm")()
         groups = s * s
@@ -135,8 +141,8 @@ class FinalPatchExpand(nn.Module):
         bcast = jnp.asarray(_group_bcast_matrix(groups, c_out))
         mu = jnp.einsum("bhwc,cg->bhwg", xf, mavg, precision=hp)
         ex2 = jnp.einsum("bhwc,cg->bhwg", xf * xf, mavg, precision=hp)
-        var = ex2 - mu * mu  # use_fast_variance, eps per flax default
-        rs = jax.lax.rsqrt(var + 1e-6)
+        var = ex2 - mu * mu  # use_fast_variance; eps = torch LN default
+        rs = jax.lax.rsqrt(var + _EPS)
         mu_b = jnp.einsum("bhwg,gc->bhwc", mu, bcast, precision=hp)
         rs_b = jnp.einsum("bhwg,gc->bhwc", rs, bcast, precision=hp)
         y = (xf - mu_b) * rs_b * jnp.tile(gamma, groups) + jnp.tile(

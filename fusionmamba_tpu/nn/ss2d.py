@@ -121,8 +121,9 @@ class _SSMCore(nn.Module):
         y = (cross_merge(ys, H, W) if fullres
              else efficient_merge(ys, H, W))         # (B, H, W, D)
         # fused LN + the callers' `y * z` gate in one Pallas pass
-        # (`models/cross.py:334-335` then `:742` / `:1225-1229`)
-        y = FusedLayerNorm(name="out_norm")(y, gate=gate)
+        # (`models/cross.py:334-335` then `:742` / `:1225-1229`);
+        # eps 1e-5 = torch nn.LayerNorm default (`models/cross.py:472,945`)
+        y = FusedLayerNorm(epsilon=1e-5, name="out_norm")(y, gate=gate)
         return y.astype(x.dtype)
 
 

@@ -158,7 +158,15 @@ def _ln_core_fwd(x2, scale, bias, gate2, eps, interpret):
 def _ln_core_bwd(eps, interpret, res, dy2):
     x2, scale, bias, gate2 = res
     dx, dg, ds, db = _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret)
-    return dx, ds.reshape(scale.shape), db.reshape(bias.shape), dg
+    # cotangent dtypes MUST equal the primal dtypes: under mixed precision
+    # scale/bias arrive bf16 and the XLA-fallback branch of
+    # layer_norm_fused's platform_dependent produces bf16 param grads (the
+    # astype(f32) transposes back), so a f32 ds/db here makes the two
+    # branches' signatures diverge and stablehlo.case fails to verify
+    return (dx.astype(x2.dtype),
+            ds.reshape(scale.shape).astype(scale.dtype),
+            db.reshape(bias.shape).astype(bias.dtype),
+            None if dg is None else dg.astype(gate2.dtype))
 
 
 _ln_core.defvjp(_ln_core_fwd, _ln_core_bwd)

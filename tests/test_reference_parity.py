@@ -18,9 +18,6 @@ from reference_harness import build_reference_fusion, reference_available
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="/root/reference not available")
 
-DEPTHS = (1, 1)
-DEPTHS_DEC = (1, 1)
-DIMS = (16, 32)
 # must be 16: the reference's VSSLayer passes `d_state=` but VSSBlock_new's
 # kwarg is `ssm_d_state`, so the value is swallowed by **kwargs and encoder/
 # decoder SS2Ds ALWAYS run d_state=16 (`vmamba_Fusion_efficross.py:651-658`,
@@ -28,10 +25,20 @@ DIMS = (16, 32)
 # can produce
 D_STATE = 16
 
+# (depths, depths_decoder, dims, input_size): the 2-stage tiny case plus a
+# 4-stage case that exercises the decoder skip indices -2/-3 and the
+# stage-3 path (`models/fusion.py` skip wiring vs
+# `vmamba_Fusion_efficross.py:892-899`)
+_CONFIGS = {
+    "2stage": ((1, 1), (1, 1), (16, 32), 32),
+    "4stage": ((1, 1, 1, 1), (1, 1, 1, 1), (16, 32, 64, 128), 64),
+}
 
-@pytest.fixture(scope="module")
-def parity_pair():
+
+@pytest.fixture(scope="module", params=sorted(_CONFIGS))
+def parity_pair(request):
     torch = pytest.importorskip("torch")
+    DEPTHS, DEPTHS_DEC, DIMS, SIZE = _CONFIGS[request.param]
     ref = build_reference_fusion(DEPTHS, DEPTHS_DEC, DIMS, D_STATE)
 
     from fusionmamba_tpu.checkpoints.torch_import import (
@@ -47,8 +54,8 @@ def parity_pair():
     model = VSSMFusion(cfg)
 
     rng = np.random.default_rng(42)
-    x = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
-    y = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+    x = rng.uniform(0, 1, (2, SIZE, SIZE, 1)).astype(np.float32)
+    y = rng.uniform(0, 1, (2, SIZE, SIZE, 1)).astype(np.float32)
 
     with torch.no_grad():
         want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
@@ -97,9 +104,11 @@ def test_ssim_north_star(parity_pair):
     assert val >= 0.999, val
 
 
-def test_roundtrip_export(parity_pair):
+@pytest.mark.parametrize("config_name", sorted(_CONFIGS))
+def test_roundtrip_export(config_name):
     """flax -> torch export loads strictly into the reference model."""
     torch = pytest.importorskip("torch")
+    DEPTHS, DEPTHS_DEC, DIMS, _ = _CONFIGS[config_name]
     ref = build_reference_fusion(DEPTHS, DEPTHS_DEC, DIMS, D_STATE, seed=1)
 
     from fusionmamba_tpu.checkpoints.torch_import import (
