@@ -130,15 +130,19 @@ def make_cache(batch: int, d_inner: int, d_state: int, d_conv: int = 4,
 
 
 class ResidualBlock(nn.Module):
-    """Prenorm block (`mamba_simple.py:297-353`)."""
+    """Prenorm block (`mamba_simple.py:297-353`). `rms_norm` selects the
+    RMSNorm flavor the released Mamba checkpoints use
+    (`models/config_mamba.py` rms_norm=True default)."""
     d_model: int
     d_state: int = 16
     scan_impl: str = "auto"
     norm_eps: float = 1e-5
+    rms_norm: bool = False
 
     @nn.compact
     def __call__(self, x, cache=None):
-        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        h = norm_cls(epsilon=self.norm_eps, name="norm")(x)
         h, cache = MambaBlock(self.d_model, d_state=self.d_state,
                               scan_impl=self.scan_impl, name="mixer")(
             h, cache)
@@ -154,15 +158,17 @@ class MambaLMHeadModel(nn.Module):
     d_state: int = 16
     scan_impl: str = "auto"
     norm_eps: float = 1e-5
+    rms_norm: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.d_model)
         self.blocks = [
             ResidualBlock(self.d_model, d_state=self.d_state,
-                          scan_impl=self.scan_impl)
+                          scan_impl=self.scan_impl, rms_norm=self.rms_norm)
             for _ in range(self.n_layer)
         ]
-        self.norm_f = nn.LayerNorm(epsilon=self.norm_eps)
+        norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
+        self.norm_f = norm_cls(epsilon=self.norm_eps)
 
     def __call__(self, tokens, caches=None):
         """tokens: (B, L) int32. Returns (logits, caches)."""
@@ -182,34 +188,104 @@ class MambaLMHeadModel(nn.Module):
         ]
 
 
+def top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Mask logits outside the top-p nucleus to -inf
+    (`utils/generation.py:53-68`: sort ascending, drop tokens whose
+    cumulative softmax is <= 1 - top_p)."""
+    if top_p <= 0.0 or top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)          # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    keep = cum > (1.0 - top_p)
+    min_keep = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                       axis=-1, keepdims=True)
+    return jnp.where(logits < min_keep, -jnp.inf, logits)
+
+
+def min_p_filter(logits: jax.Array, min_p: float) -> jax.Array:
+    """Drop tokens whose probability is below min_p * max-probability
+    (`utils/generation.py:37-42` intent; the reference's in-place variant
+    compares raw logits against min_p, which only works for pre-normalized
+    inputs -- this implements the documented min-p semantics)."""
+    if min_p <= 0.0 or min_p >= 1.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    thresh = min_p * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < thresh, -jnp.inf, logits)
+
+
+def apply_repetition_penalty(logits: jax.Array, prev_tokens: jax.Array,
+                             penalty: float) -> jax.Array:
+    """CTRL-style repetition penalty over all previously emitted tokens
+    (`utils/generation.py:71-84`): negative logits are multiplied by the
+    penalty, positive ones divided. logits (B, V), prev_tokens (B, S)."""
+    if penalty == 1.0:
+        return logits
+    V = logits.shape[-1]
+    seen = jnp.any(
+        jax.nn.one_hot(prev_tokens, V, dtype=jnp.bool_), axis=1)  # (B, V)
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 0.0,
+                  min_p: float = 0.0) -> jax.Array:
+    """One sampling step over (B, V) logits, mirroring the reference
+    `sample` (`utils/generation.py:87-133`): top_k == 1 short-circuits to
+    greedy; top_k > 0 restricts to the k best then applies temperature and
+    top-p; top_k == 0 applies min-p or top-p on the full vocabulary."""
+    if top_k == 1 or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    if top_k > 0:
+        k = min(top_k, logits.shape[-1])
+        kth = jnp.sort(logits, axis=-1)[:, -k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if temperature != 1.0:
+            logits = logits / temperature
+        logits = top_p_filter(logits, top_p)
+        return jax.random.categorical(rng, logits)
+    if min_p > 0.0:
+        logits = min_p_filter(logits, min_p)
+        if temperature != 1.0:
+            logits = logits / temperature
+        return jax.random.categorical(rng, logits)
+    if temperature != 1.0:
+        logits = logits / temperature
+    logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(rng, logits)
+
+
 def generate(model: MambaLMHeadModel, variables: Any, prompt: jax.Array,
              max_new_tokens: int, temperature: float = 1.0,
-             top_k: int = 0, rng: jax.Array | None = None) -> jax.Array:
+             top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
+             repetition_penalty: float = 1.0,
+             rng: jax.Array | None = None) -> jax.Array:
     """Autoregressive sampling with cached single-token steps
-    (`utils/generation.py:121-242`; greedy when temperature == 0)."""
+    (`utils/generation.py:121-242`; greedy when temperature == 0 or
+    top_k == 1). The repetition penalty is applied against ALL tokens
+    emitted so far including the prompt (`generation.py:222-228`,
+    `sequences_cat`)."""
     B = prompt.shape[0]
     caches = model.init_caches(B)
     # prefill one token at a time (simple; prompt lengths are small for this
     # capability's use)
-    tok = None
     for i in range(prompt.shape[1]):
         logits, caches = model.apply(variables, prompt[:, i:i + 1], caches)
-        tok = prompt[:, i:i + 1]
     out = [prompt]
+    seen = prompt
     if rng is None:
         rng = jax.random.PRNGKey(0)
     last_logits = logits[:, -1]
     for step in range(max_new_tokens):
-        if temperature == 0.0:
-            tok = jnp.argmax(last_logits, axis=-1)[:, None]
-        else:
-            scaled = last_logits / temperature
-            if top_k > 0:
-                kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-            rng, sub = jax.random.split(rng)
-            tok = jax.random.categorical(sub, scaled)[:, None]
+        stepped = apply_repetition_penalty(last_logits, seen,
+                                           repetition_penalty)
+        rng, sub = jax.random.split(rng)
+        tok = sample_logits(stepped, sub, temperature=temperature,
+                            top_k=top_k, top_p=top_p, min_p=min_p)[:, None]
         out.append(tok)
+        if repetition_penalty != 1.0:
+            seen = jnp.concatenate([seen, tok], axis=1)
         logits, caches = model.apply(variables, tok, caches)
         last_logits = logits[:, -1]
     return jnp.concatenate(out, axis=1)
