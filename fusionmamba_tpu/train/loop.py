@@ -62,19 +62,42 @@ def make_seg_optimizer(lr: float = 5e-5, clip: float = 1.0,
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Update the injected learning-rate hyperparam (per-epoch decay)."""
-    opt_state = state.opt_state
-    # optax.chain wraps states in a tuple; find the hyperparams holder
-    def _update(os):
-        if hasattr(os, "hyperparams") and "learning_rate" in os.hyperparams:
-            os.hyperparams["learning_rate"] = jnp.asarray(lr)
+    """Return a new TrainState with the injected learning-rate hyperparam
+    replaced (per-epoch decay, `train.py:125-131`).
+
+    Functional rebuild -- no in-place mutation of optax state. Walks the
+    (possibly chained / flattened / named) opt-state tree for
+    `InjectHyperparamsState` holders and `_replace`s their hyperparams dict;
+    raises if none is found so a silently-ignored decay cannot happen when
+    the optimizer chain changes shape."""
+    found = 0
+
+    def _rebuild(os):
+        nonlocal found
+        # duck-typed: optax names this InjectHyperparamsState or (newer)
+        # InjectStatefulHyperparamsState depending on version
+        if hasattr(os, "hyperparams") and hasattr(os, "_replace"):
+            hp = dict(os.hyperparams)
+            if "learning_rate" in hp:
+                found += 1
+                hp["learning_rate"] = jnp.asarray(
+                    lr, dtype=jnp.asarray(hp["learning_rate"]).dtype)
+                return os._replace(hyperparams=hp)
+            return os
+        if isinstance(os, tuple) and not hasattr(os, "_fields"):
+            return tuple(_rebuild(o) for o in os)
+        if hasattr(os, "_fields"):  # NamedTuple wrapper (chain/flatten/...)
+            return type(os)(*(_rebuild(o) for o in os))
         return os
-    if isinstance(opt_state, tuple):
-        for os in opt_state:
-            _update(os)
-    else:
-        _update(opt_state)
-    return state
+
+    new_opt_state = _rebuild(state.opt_state)
+    if not found:
+        raise ValueError(
+            "set_learning_rate: no InjectHyperparamsState with a "
+            "'learning_rate' entry in the optimizer state; build the "
+            "optimizer with optax.inject_hyperparams "
+            "(make_fusion_optimizer / make_seg_optimizer do)")
+    return state.replace(opt_state=new_opt_state)
 
 
 def cast_compute(tree, dtype):

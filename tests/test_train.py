@@ -87,3 +87,42 @@ def test_seg_train_step(dtype):
     # batch_stats keep their init dtype across the mixed-precision update
     for leaf in jax.tree_util.tree_leaves(state.batch_stats):
         assert leaf.dtype == jnp.float32
+
+
+def test_set_learning_rate_applies_decay():
+    """The per-epoch decayed lr must actually land in the update
+    (VERDICT r1 #10): Adam's first-step delta is ~lr * m_hat/sqrt(v_hat),
+    so halving lr halves the param delta exactly."""
+    from fusionmamba_tpu.train import set_learning_rate
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+
+    def delta_for(lr, flatten):
+        state = TrainState.create(
+            apply_fn=None, params=jax.tree.map(jnp.copy, params),
+            tx=make_fusion_optimizer(1e-4, flatten=flatten))
+        state = set_learning_rate(state, lr)
+        new = state.apply_gradients(grads=grads)
+        return np.asarray(new.params["w"] - params["w"])
+
+    for flatten in (True, False):
+        d1 = delta_for(2e-4, flatten)
+        d2 = delta_for(1e-4, flatten)
+        assert np.all(np.abs(d1) > 0)
+        # not exactly 2x: adam's eps in the denominator doesn't scale with lr
+        np.testing.assert_allclose(d1, 2.0 * d2, rtol=1e-3)
+
+    # seg optimizer (chain(clip, inject(adamw))) is also reachable
+    import optax
+    seg_state = TrainState.create(
+        apply_fn=None, params=jax.tree.map(jnp.copy, params),
+        tx=make_seg_optimizer(lr=5e-5))
+    seg_state = set_learning_rate(seg_state, 1e-5)
+
+    # an optimizer without inject_hyperparams must raise, not no-op
+    bare = TrainState.create(
+        apply_fn=None, params=jax.tree.map(jnp.copy, params),
+        tx=optax.adam(1e-4))
+    with pytest.raises(ValueError):
+        set_learning_rate(bare, 1e-5)
