@@ -220,6 +220,7 @@ def test_bf16_io(impl):
             rtol=5e-2, atol=8e-2, err_msg=f"bf16 gradient mismatch {name}")
 
 
+@pytest.mark.tpu
 @pytest.mark.parametrize("algo,mm_mode,q,rtol,atol", [
     ("cumsum", "hilo", 16, 6e-4, 2e-3),
     ("cumsum_mm", "hilo", 32, 6e-4, 2e-3),       # fp32-grade Veltkamp dots
