@@ -23,7 +23,9 @@ def parse_args():
     ap.add_argument("--batch_size", "-B", type=int, default=6)
     ap.add_argument("--model", choices=["full", "tiny"], default="full")
     ap.add_argument("--ckpt_dir", type=str, default="model_last/my_cross")
-    ap.add_argument("--num_workers", "-j", type=int, default=0)
+    ap.add_argument("--num_workers", "-j", type=int, default=8,
+                    help="loader threads (cv2/PIL release the GIL); 0 = "
+                         "synchronous in-loop loading")
     ap.add_argument("--scan_impl", type=str, default="auto")
     ap.add_argument("--precision", choices=["bf16", "fp32"], default="fp32",
                     help="compute dtype for the train step (master params "
@@ -46,6 +48,7 @@ def train_fusion(args, dataset_name: str, logger):
     from fusionmamba_tpu.config import full_config, tiny_config
     from fusionmamba_tpu.data import (FusionDataset, SyntheticFusionDataset,
                                       batch_iterator)
+    from fusionmamba_tpu.data.prefetch import device_prefetch, threaded_batches
     from fusionmamba_tpu.models import VSSMFusion
     from fusionmamba_tpu.parallel.sharding import batch_sharding, make_mesh
     from fusionmamba_tpu.train import (
@@ -87,11 +90,20 @@ def train_fusion(args, dataset_name: str, logger):
     step = 0
     for epoch in range(1, args.epochs + 1):
         state = set_learning_rate(state, reference_fusion_lr(epoch))
-        it = batch_iterator(ds, args.batch_size, shuffle=True, seed=epoch)
+        if args.num_workers > 0:
+            # async pipeline: thread-pool item loading + depth-2 device
+            # prefetch so H2D transfer overlaps the running step (the
+            # reference uses a 16-worker DataLoader, `train.py:111-118`)
+            it = device_prefetch(
+                threaded_batches(ds, args.batch_size, shuffle=True,
+                                 seed=epoch, num_workers=args.num_workers),
+                sharding=bs)
+        else:
+            it = (tuple(jax.device_put(jnp.asarray(b), bs) for b in batch)
+                  for batch in batch_iterator(ds, args.batch_size,
+                                              shuffle=True, seed=epoch))
         for batch in it:
             vis_y, ir = batch[0], batch[1]
-            vis_y = jax.device_put(jnp.asarray(vis_y), bs)
-            ir = jax.device_put(jnp.asarray(ir), bs)
             state, metrics = train_step(state, vis_y, ir,
                                         jax.random.fold_in(key, step))
             step += 1

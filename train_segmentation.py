@@ -40,6 +40,9 @@ def parse_args():
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train/eval on N deterministic synthetic labeled "
                          "pairs instead of the on-disk dataset")
+    ap.add_argument("--num_workers", "-j", type=int, default=8,
+                    help="loader threads (cv2/PIL release the GIL); 0 = "
+                         "synchronous in-loop loading")
     return ap.parse_args()
 
 
@@ -94,6 +97,7 @@ def main():
     from fusionmamba_tpu.config import full_config, tiny_config
     from fusionmamba_tpu.data import (FusionDataset, SyntheticFusionDataset,
                                       batch_iterator)
+    from fusionmamba_tpu.data.prefetch import device_prefetch, threaded_batches
     from fusionmamba_tpu.losses import compute_class_weights
     from fusionmamba_tpu.models import VSSMFusionSeg
     from fusionmamba_tpu.train import (
@@ -150,7 +154,15 @@ def main():
     step = 0
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
-        for batch in batch_iterator(train_ds, batch_size, seed=epoch):
+        if args.num_workers > 0:
+            # thread-pool loading + depth-2 device prefetch (overlaps H2D
+            # with the running step; reference: 16-worker DataLoader)
+            it = device_prefetch(
+                threaded_batches(train_ds, batch_size, shuffle=True,
+                                 seed=epoch, num_workers=args.num_workers))
+        else:
+            it = batch_iterator(train_ds, batch_size, seed=epoch)
+        for batch in it:
             vis_y, ir, lbl = batch
             if is_pst900:
                 state = set_learning_rate(state, poly_lr(lr, step, max_iter))
