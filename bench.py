@@ -93,13 +93,35 @@ def main():
     state, m = step(state, x1, x2, key)   # post-donation steady state
     float(jnp.asarray(m["loss_total"]))
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, x1, x2, jax.random.fold_in(key, i))
-    float(jnp.asarray(m["loss_total"]))
-    dt = time.perf_counter() - t0
+    # two timed passes: their agreement (or not) separates steady-state
+    # throughput from tunnel/host jitter in the recorded JSON
+    pass_ms = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = step(state, x1, x2, jax.random.fold_in(key, i))
+        float(jnp.asarray(m["loss_total"]))
+        pass_ms.append((time.perf_counter() - t0) * 1000.0 / steps)
+    step_ms = min(pass_ms)
+    pairs_per_sec = batch * 1000.0 / step_ms
 
-    pairs_per_sec = batch * steps / dt
+    # environment fingerprint: a 2x swing between sessions (BENCH_r01 26.97
+    # vs builder-measured 65.4) was undiagnosable without knowing which
+    # libtpu/runtime the driver's run actually hit
+    dev = jax.devices()[0]
+    try:
+        from jax.extend import backend as _jexb
+        platform_version = _jexb.get_backend().platform_version
+    except Exception as e:  # fingerprint must never fail the bench
+        platform_version = f"<unavailable: {e}>"
+    fingerprint = {
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device": getattr(dev, "device_kind", str(dev)),
+        "platform_version": platform_version.replace("\n", "; ")[:200],
+        "scan_algo": os.environ.get("FM_SCAN_ALGO", "<library default>"),
+        "pass_ms": [round(p, 2) for p in pass_ms],
+    }
     result = {
         "metric": f"fusion train pairs/sec/chip @256^2 (batch {batch}, "
                   f"{compute_dtype} activations, full model)"
@@ -107,6 +129,9 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "step_ms": round(step_ms, 2),
+        "batch": batch,
+        "env": fingerprint,
     }
     print(json.dumps(result))
 
