@@ -70,7 +70,10 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # fp32 range by rebasing S per Q=32-row group (worst-case |S| growth at the
 # reference's dt/A init is 1.6/step -> 51 < the +-60 clip) and combining
 # groups with the overflow-free (a,b) monoid on 1/Q-size carry arrays.
-_SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
+# DEFAULT: "cumsum_mm" -- the measured-best TPU operating point (the MXU
+# triangular-dot rescan). "doubling" remains the exact pure-VPU fallback
+# for arbitrary input magnitudes (FM_SCAN_ALGO=doubling).
+_SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "cumsum_mm")
 
 # group size for the cumsum algorithms' rescale rebasing; must keep
 # |A| * sum(delta) within a group below the +-60 fp32 exp clip. At the
@@ -78,7 +81,7 @@ _SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "doubling")
 # i.e. ~1.6/step worst case) q=32 bounds |S| by ~51 and q=16 by ~26;
 # lanes that exceed the clip saturate their decay weights (bounded,
 # documented deviation -- "doubling" remains the exact fallback).
-_CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 16))
+_CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 32))
 _CLIP = 60.0
 
 # matmul mode for the cumsum_mm triangular dots. The triangular-ones matrix
@@ -88,15 +91,18 @@ _CLIP = 60.0
 #               bf16 I/O already applies to its inputs under mixed
 #               precision; measured 4.8e-4 global rel error in the init
 #               regime -- 60x inside the reference's own bf16 kernel
-#               tolerance (rtol 3e-2, test_selective_scan.py:399-401).
-#               This is the bf16 operating point bench.py uses.
+#               tolerance (rtol 3e-2, test_selective_scan.py:399-401),
+#               and also inside the reference's fp32 tolerance (6e-4
+#               rtol); the golden SSIM >= 0.999 parity gate passes under
+#               it. This is the shipped default AND the bench operating
+#               point (set FM_SCAN_MM_PREC=hilo for fp32-grade dots).
 #   "hilo"    = two bf16 dots on a Veltkamp-split x = hi + lo (the split
 #               uses plain float mul/add; a convert-based split is ELIDED
 #               by XLA's excess-precision pass and integer-mask splits
 #               crash this Mosaic's u32 lowering). Measured equal to
 #               true-fp32 dots (3e-5 rel) at ~2/3 their cost; fp32-grade.
 #   "highest" = true-fp32 multi-pass dots (slowest, exact baseline).
-_MM_MODE = os.environ.get("FM_SCAN_MM_PREC", "hilo")
+_MM_MODE = os.environ.get("FM_SCAN_MM_PREC", "default")
 _MM_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
@@ -125,9 +131,9 @@ _EXPAND_MODE = os.environ.get("FM_SCAN_EXPAND", "concat")
 # default = single bf16 pass (~2^-9 rel), highest = true-fp32 multi-pass.
 # MEASURED (v5e, chained, L=1024/D=192 fwd+bwd): off 3.28 ms, default
 # 3.18 ms (-3%), hilo 3.36 ms (+2%) -- Mosaic's native cross-lane reduce is
-# cheaper than estimated, so this stays "off" by default; bench.py opts
-# into "default" alongside its other bf16-dot settings.
-_GRAD_MM_MODE = os.environ.get("FM_SCAN_GRAD_MM", "off")
+# cheaper than estimated. Shipped default = "default" (the measured-best
+# bench operating point); FM_SCAN_GRAD_MM=off restores the exact VPU path.
+_GRAD_MM_MODE = os.environ.get("FM_SCAN_GRAD_MM", "default")
 
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the

@@ -68,6 +68,20 @@ IMPLS = {
 }
 
 
+@pytest.fixture(autouse=True)
+def _pin_exact_scan_path(monkeypatch):
+    """This module's golden tests feed ARBITRARY-magnitude inputs (A up to
+    -e^1.5, unconstrained delta), outside the |A|*sum(delta) < 60 rescale
+    envelope the shipped cumsum_mm default is specified for
+    (scan_pallas.py: _CLIP). Pin the exact pure-VPU doubling path here;
+    the shipped default is covered at its own documented tolerance, in its
+    specified init regime, by test_cumsum_algo_matches_ref_in_init_regime
+    (which overrides these attrs per-test)."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    monkeypatch.setattr(sp, "_SCAN_ALGO", "doubling")
+    monkeypatch.setattr(sp, "_GRAD_MM_MODE", "off")
+
+
 @pytest.mark.parametrize("impl", list(IMPLS))
 @pytest.mark.parametrize("L", [16, 33, 64])
 @pytest.mark.parametrize("has_D,has_bias,softplus", [
@@ -221,15 +235,16 @@ def test_bf16_io(impl):
 
 
 @pytest.mark.tpu
-@pytest.mark.parametrize("algo,mm_mode,q,rtol,atol", [
-    ("cumsum", "hilo", 16, 6e-4, 2e-3),
-    ("cumsum_mm", "hilo", 32, 6e-4, 2e-3),       # fp32-grade Veltkamp dots
-    ("cumsum_mm", "default", 32, 3e-2, 5e-2),    # bench.py's bf16 operating
+@pytest.mark.parametrize("algo,mm_mode,grad_mm,q,rtol,atol", [
+    ("cumsum", "hilo", "off", 16, 6e-4, 2e-3),
+    ("cumsum_mm", "hilo", "off", 32, 6e-4, 2e-3),  # fp32-grade Veltkamp dots
+    ("cumsum_mm", "default", "default", 32, 3e-2, 5e-2),  # the SHIPPED
+    # library default (scan_pallas.py module defaults) = bench operating
     # point; tolerances = the reference's own bf16 kernel tolerances
     # (`mamba_ssm/ops/test_selective_scan.py:399-401`)
 ])
 def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch, algo, mm_mode,
-                                                q, rtol, atol):
+                                                grad_mm, q, rtol, atol):
     """The FM_SCAN_ALGO=cumsum{,_mm} log-space rescan (scan_pallas.py) is
     exact whenever |A| * sum(delta) stays within the +-60 rescale clip per
     _CUMSUM_Q rows -- which the reference model's init guarantees (S4D
@@ -243,6 +258,7 @@ def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch, algo, mm_mode,
     from fusionmamba_tpu.ops import scan_pallas as sp
     monkeypatch.setattr(sp, "_SCAN_ALGO", algo)
     monkeypatch.setattr(sp, "_MM_MODE", mm_mode)
+    monkeypatch.setattr(sp, "_GRAD_MM_MODE", grad_mm)
     monkeypatch.setattr(sp, "_CUMSUM_Q", q)
     rng = np.random.default_rng(3)
     batch, K, L, dim, N = 1, 2, 64, 128, 16
