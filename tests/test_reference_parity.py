@@ -142,8 +142,11 @@ def test_full_config_on_device_ssim(tmp_path):
                    torch.from_numpy(y.transpose(0, 3, 1, 2)))
     want = want.numpy().transpose(0, 2, 3, 1)
 
-    fwd = jax.jit(lambda a, b: model.apply({"params": params}, a, b))
-    got = np.asarray(fwd(jnp.asarray(x), jnp.asarray(y)))
+    # params must be an ARGUMENT, not a closure: closed-over arrays bake
+    # into the HLO as constants and the ~140 MB program body overflows the
+    # tunneled compile endpoint (HTTP 413)
+    fwd = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b))
+    got = np.asarray(fwd(params, jnp.asarray(x), jnp.asarray(y)))
     assert got.shape == want.shape
 
     # reference test.py output pipeline: clamp then min-max renormalize
