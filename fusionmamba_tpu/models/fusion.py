@@ -48,7 +48,7 @@ class VSSStage(nn.Module):
     remat_light: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_uni=None):
         block_cls = _remat_block if self.remat else VSSBlock
         for i in range(self.depth):
             x = block_cls(
@@ -57,7 +57,7 @@ class VSSStage(nn.Module):
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
                 scan_impl=self.scan_impl, remat_light=self.remat_light,
                 name=f"block{i}",
-            )(x, deterministic)
+            )(x, deterministic, None if dp_uni is None else dp_uni[i])
         if self.downsample:
             x = PatchMerging(self.dim, name="downsample")(x)
         return x
@@ -80,7 +80,7 @@ class VSSStageUp(nn.Module):
     remat_light: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dp_uni=None):
         if self.upsample:
             x = PatchExpand(self.dim, name="upsample")(x)
         block_cls = _remat_block if self.remat else VSSBlock
@@ -91,7 +91,7 @@ class VSSStageUp(nn.Module):
                 attn_drop=self.attn_drop, norm_eps=self.norm_eps,
                 scan_impl=self.scan_impl, remat_light=self.remat_light,
                 name=f"block{i}",
-            )(x, deterministic)
+            )(x, deterministic, None if dp_uni is None else dp_uni[i])
         return x
 
 
@@ -188,7 +188,25 @@ class VSSMFusion(nn.Module):
         self.final_up = FinalPatchExpand(dims_dec[-1], scale=4)
         self.final_conv = _FinalConv(dims_dec[-1] // 4, scale=4)
 
-    def encode_pair(self, x1, x2, deterministic=True):
+    def _dp_tables(self, width, deterministic):
+        """ONE uniform table per step covering every DropPath draw (2 per
+        VSSBlock). Returns (enc, dec): per-stage arrays (depth, 2, width),
+        or (None, None) when no draw happens. Replaces 60 per-module flax
+        make_rng calls whose module-path fold-in chains cost ~80 ms/step of
+        tiny u32 kernels at b24 (PERF.md) with a single RNG op."""
+        c = self.cfg
+        if deterministic or c.drop_path_rate == 0.0:
+            return None, None
+        n = 2 * (sum(c.depths) + sum(c.depths_decoder))
+        uni = jax.random.uniform(self.make_rng("dropout"), (n, width))
+        out, off = [], 0
+        for d in list(c.depths) + list(c.depths_decoder):
+            out.append(uni[off:off + 2 * d].reshape(d, 2, width))
+            off += 2 * d
+        k = len(c.depths)
+        return out[:k], out[k:]
+
+    def encode_pair(self, x1, x2, deterministic=True, dp_tables=None):
         """Run the SHARED encoder trunk once on both modalities batched
         together (2B). The reference iterates `self.layers` twice with the
         same weights (forward_features_1/2, `vmamba_Fusion_efficross.py:861-883`);
@@ -199,16 +217,18 @@ class VSSMFusion(nn.Module):
                             axis=0)
         x = self.pos_drop(x, deterministic=deterministic)
         skips = []
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             skips.append(x)
-            x = layer(x, deterministic=deterministic)
+            x = layer(x, deterministic=deterministic,
+                      dp_uni=None if dp_tables is None else dp_tables[i])
         return x, skips  # concatenated (2B, ...) tensors
 
-    def decode(self, x, fused_skips, deterministic=True):
+    def decode(self, x, fused_skips, deterministic=True, dp_tables=None):
         for i, layer_up in enumerate(self.layers_up):
             if i > 0:
                 x = x + fused_skips[-i]
-            x = layer_up(x, deterministic=deterministic)
+            x = layer_up(x, deterministic=deterministic,
+                         dp_uni=None if dp_tables is None else dp_tables[i])
         return x
 
     def features(self, x1, x2, deterministic=True, compact_tail=False):
@@ -216,14 +236,16 @@ class VSSMFusion(nn.Module):
         (B, H, W, dims[0]//4) feature map the seg head and fusion head share
         (`vmamba_Fusion_efficross.py:1052-1060`). With compact_tail=True the
         depth-to-space of final_up is deferred (see FinalPatchExpand)."""
-        ecat, skips = self.encode_pair(x1, x2, deterministic)
+        enc_dp, dec_dp = self._dp_tables(2 * x1.shape[0], deterministic)
+        ecat, skips = self.encode_pair(x1, x2, deterministic,
+                                       dp_tables=enc_dp)
         e1, e2 = jnp.split(ecat, 2, axis=0)
         x = e1 + e2
         fused = [
             cross(*jnp.split(s, 2, axis=0), deterministic=deterministic)
             for cross, s in zip(self.cross_blocks, skips)
         ]
-        x = self.decode(x, fused, deterministic)
+        x = self.decode(x, fused, deterministic, dp_tables=dec_dp)
         return self.final_up(x, compact=compact_tail)
 
     def __call__(self, x1, x2, deterministic: bool = True):

@@ -43,7 +43,8 @@ class VSSBlock(nn.Module):
     remat_light: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):  # (B, H, W, C)
+    def __call__(self, x, deterministic: bool = True,
+                 dp_uni=None):  # x: (B, H, W, C); dp_uni: (2, >=B) uniforms
         eca_cls = nn.remat(ECALayer) if self.remat_light else ECALayer
         attn_cls = nn.remat(BiAttn) if self.remat_light else BiAttn
         mlp_cls = (nn.remat(Mlp, static_argnums=(2,))
@@ -60,13 +61,15 @@ class VSSBlock(nn.Module):
         se = attn_cls(self.dim, name="se")
         x = se(x_ssm) + se(x_conv)
         x = inp + DropPath(self.drop_path, name="drop_path")(
-            x, deterministic=deterministic)
+            x, deterministic=deterministic,
+            uni=None if dp_uni is None else dp_uni[0])
         if self.mlp_ratio > 0:
             h = FusedLayerNorm(epsilon=self.norm_eps, name="norm2")(x)
             h = mlp_cls(int(self.dim * self.mlp_ratio), self.dim,
                         drop=self.mlp_drop, name="mlp")(h, deterministic)
             x = x + DropPath(self.drop_path, name="drop_path2")(
-                h, deterministic=deterministic)
+                h, deterministic=deterministic,
+                uni=None if dp_uni is None else dp_uni[1])
         return x
 
 

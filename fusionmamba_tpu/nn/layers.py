@@ -37,20 +37,30 @@ class FusedLayerNorm(nn.Module):
 
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath used at
-    `models/cross.py:1353,1374-1376`)."""
+    `models/cross.py:1353,1374-1376`).
+
+    `uni`, if given, is a precomputed per-sample uniform(0,1) row (at least
+    batch wide) from which the keep mask is thresholded -- the model draws
+    ONE uniform table per step instead of one flax make_rng per DropPath.
+    The per-module make_rng path folds the module path into the key with a
+    chain of tiny u32 kernels; at 60 DropPath instances that storm measured
+    ~80 ms/step of device time at b24 (PERF.md)."""
     rate: float = 0.0
     deterministic: bool | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool | None = None):
+    def __call__(self, x, deterministic: bool | None = None, uni=None):
         deterministic = nn.merge_param(
             "deterministic", self.deterministic, deterministic)
         if deterministic or self.rate == 0.0:
             return x
         keep = 1.0 - self.rate
-        rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
+        if uni is None:
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, shape)
+        else:
+            mask = (uni[: x.shape[0]] < keep).reshape(shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

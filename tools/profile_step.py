@@ -36,36 +36,42 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--logdir", default="/tmp/fm-profile")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--parse_only", action="store_true",
+                    help="re-aggregate an existing trace in --logdir "
+                         "without touching the device")
     args = ap.parse_args()
 
-    from fusionmamba_tpu.config import full_config
-    from fusionmamba_tpu.models import VSSMFusion
-    from fusionmamba_tpu.train import (
-        TrainState, make_fusion_optimizer, make_fusion_train_step)
+    if not args.parse_only:
+        from fusionmamba_tpu.config import full_config
+        from fusionmamba_tpu.models import VSSMFusion
+        from fusionmamba_tpu.train import (
+            TrainState, make_fusion_optimizer, make_fusion_train_step)
 
-    cfg = full_config()
-    model = VSSMFusion(cfg)
-    rng = np.random.default_rng(0)
-    x1 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)), jnp.float32)
-    x2 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
-    state = TrainState.create(apply_fn=model.apply,
-                              params=variables["params"],
-                              tx=make_fusion_optimizer(1e-4))
-    compute = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
-    step = make_fusion_train_step(model, compute_dtype=compute)
-    key = jax.random.PRNGKey(1)
+        cfg = full_config()
+        model = VSSMFusion(cfg)
+        rng = np.random.default_rng(0)
+        x1 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)),
+                         jnp.float32)
+        x2 = jnp.asarray(rng.uniform(0, 1, (args.batch, 256, 256, 1)),
+                         jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1[:1], x2[:1])
+        state = TrainState.create(apply_fn=model.apply,
+                                  params=variables["params"],
+                                  tx=make_fusion_optimizer(1e-4))
+        compute = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
+        step = make_fusion_train_step(model, compute_dtype=compute)
+        key = jax.random.PRNGKey(1)
 
-    # warm up / compile outside the trace
-    state, m = step(state, x1, x2, key)
-    fetch(m)
+        # warm up / compile outside the trace
+        state, m = step(state, x1, x2, key)
+        fetch(m)
 
-    os.system(f"rm -rf {args.logdir}")
-    jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
-    for i in range(args.steps):
-        state, m = step(state, x1, x2, jax.random.fold_in(key, i))
-    fetch(m)
-    jax.profiler.stop_trace()
+        os.system(f"rm -rf {args.logdir}")
+        jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
+        for i in range(args.steps):
+            state, m = step(state, x1, x2, jax.random.fold_in(key, i))
+        fetch(m)
+        jax.profiler.stop_trace()
 
     traces = glob.glob(
         os.path.join(args.logdir, "**", "*.trace.json.gz"), recursive=True)
@@ -90,13 +96,41 @@ def main():
 
     import re
 
-    def norm(name: str) -> str:
-        name = name.replace(".remat", "")
-        return re.sub(r"\.\d+$", "", name)
-
-    agg = defaultdict(lambda: [0.0, 0])
+    # Three aggregations, all from the events' args metadata (NOT the HLO
+    # instruction name: XLA names every generic fusion `fusion.NNN`, and
+    # collapsing those by prefix once hid 72 ms/step of MXU dots behind a
+    # representative u32 key-fold op):
+    #   1. hlo_category (XLA's own: loop fusion / convolution fusion / ...)
+    #   2. tf_op leaf op kind (dot_general / custom-call / ...), fwd vs bwd
+    #   3. model component: the module path from tf_op, truncated
+    agg = defaultdict(lambda: [0.0, 0])       # exact instruction
     samples = {}
+    by_cat = defaultdict(float)
+    by_kind = defaultdict(lambda: [0.0, 0])
+    by_mod = defaultdict(lambda: [0.0, 0])
     total = 0.0
+
+    def _kind(tf_op: str, name: str, cat: str) -> str:
+        leaf = tf_op.rstrip(":").rsplit("/", 1)[-1] if tf_op else name
+        leaf = re.sub(r"\.\d+$", "", leaf)
+        bwd = "transpose(" in tf_op or "rematted" in name
+        return ("bwd:" if bwd else "fwd:") + (leaf or cat or "?")
+
+    def _module(tf_op: str) -> str:
+        if not tf_op:
+            return "<no tf_op>"
+        p = tf_op.rstrip(":")
+        # strip jit()/jvp()/transpose() wrappers from each segment
+        segs = [re.sub(r"^(jit|jvp|transpose|remat)\(|\)$", "", s)
+                for s in p.split("/")]
+        segs = [s for s in segs if s and not s.startswith("jit(")]
+        # drop the leading jit(train_step)/VSSMFusion noise, keep the
+        # informative middle (stage/block/submodule), drop the leaf op
+        segs = [s for s in segs
+                if s not in ("train_step", "VSSMFusion", "wrapped_fn")]
+        return "/".join(segs[:4]) if len(segs) > 1 else (segs[0] if segs
+                                                         else "<top>")
+
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -110,48 +144,46 @@ def main():
         if name.startswith("jit_"):  # whole-program envelope: not an op
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        key = norm(name)
-        agg[key][0] += dur
-        agg[key][1] += 1
-        if key not in samples and e.get("args"):
-            samples[key] = e["args"]
+        a = e.get("args") or {}
+        cat = a.get("hlo_category", "?")
+        tf_op = a.get("tf_op", "")
+        agg[name][0] += dur
+        agg[name][1] += 1
+        if name not in samples and a:
+            samples[name] = a
+        by_cat[cat] += dur
+        k = _kind(tf_op, name, cat)
+        by_kind[k][0] += dur
+        by_kind[k][1] += 1
+        m = _module(tf_op)
+        by_mod[m][0] += dur
+        by_mod[m][1] += 1
         total += dur
-
-    def category(name: str, meta: dict) -> str:
-        longn = " ".join(str(v) for v in (meta or {}).values())
-        hay = name + " " + longn
-        if "tpu_custom_call" in hay or "MosaicKernel" in hay:
-            return "pallas"
-        if name.startswith("copy") or "copy" in name:
-            return "copy"
-        if "conv" in hay:
-            return "conv"
-        if "dot" in hay or "einsum" in hay:
-            return "dot"
-        if "reduce" in hay:
-            return "reduce-fusion"
-        if "fusion" in name or "add" in name or "multiply" in name:
-            return "elementwise-fusion"
-        return "other"
-
-    cats = defaultdict(float)
-    for key, (dur, _cnt) in agg.items():
-        cats[category(key, samples.get(key))] += dur
 
     print(f"trace: {path}")
     print(f"pids: { {p: pid_names.get(p, '') for p in device_pids} }")
     print(f"total device op time: {total:.1f} ms over {args.steps} steps "
           f"=> {total/args.steps:.1f} ms/step")
-    print("-- categories --")
-    for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+    print("-- hlo_category --")
+    for c, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {c}")
-    print(f"{'ms/step':>9}  {'%':>5}  {'calls':>6}  name")
+    print("-- op kind (tf_op leaf; fwd = primal, bwd = transpose) --")
+    for c, (dur, cnt) in sorted(by_kind.items(), key=lambda kv: -kv[1][0])[
+            :args.top]:
+        print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {cnt:6d}  {c}")
+    print("-- model component (tf_op path) --")
+    for c, (dur, cnt) in sorted(by_mod.items(), key=lambda kv: -kv[1][0])[
+            :args.top]:
+        print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {cnt:6d}  {c}")
+    print(f"-- top instructions --\n{'ms/step':>9}  {'%':>5}  {'calls':>6}  "
+          "name")
     for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[
             :args.top]:
         meta = samples.get(name) or {}
-        longn = str(meta.get("long_name", meta.get("hlo_op", "")))[:90]
+        longn = str(meta.get("long_name", meta.get("hlo_op", "")))[:70]
+        src = str(meta.get("tf_op", ""))[-70:]
         print(f"{dur/args.steps:9.2f}  {100*dur/total:5.1f}  {cnt:6d}  "
-              f"{name[:60]}  {longn}")
+              f"{name[:28]}  {longn}  {src}")
 
 
 if __name__ == "__main__":
