@@ -52,9 +52,13 @@ def fusion_loss(image_vis_y: jnp.ndarray, image_ir: jnp.ndarray,
     generate_img = generate_img[..., 0]
     x_in_max = jnp.maximum(image_y, image_ir)
 
-    ms1 = msssim(generate_img, image_y, normalize=True)
-    ms2 = msssim(generate_img, image_ir, normalize=True)
-    ssim_value = 0.5 * (1.0 - ms1) + 0.5 * (1.0 - ms2)
+    # both msssim comparisons through ONE batched filter pyramid (2B): the
+    # dynamic-range probe reads img1 = gen in both reference calls
+    # (`loss.py:46-47` passes generate_img first), so batching is exact
+    ms = msssim(jnp.concatenate([generate_img, generate_img], axis=0),
+                jnp.concatenate([image_y, image_ir], axis=0),
+                normalize=True, splits=2)
+    ssim_value = 0.5 * (1.0 - ms[0]) + 0.5 * (1.0 - ms[1])
 
     loss_in = jnp.mean((x_in_max - generate_img) ** 2)
 
