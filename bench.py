@@ -16,7 +16,6 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-# measured-fastest scan algorithm (PERF.md): log-space rescan whose prefix
 # The bench runs the LIBRARY DEFAULTS (scan_pallas.py: cumsum_mm / Q=32 /
 # MM_PREC=default / GRAD_MM=default) -- no bench-only env overrides, so the
 # recorded number is exactly what `train.py` users get.

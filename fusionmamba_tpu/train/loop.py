@@ -129,6 +129,21 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=new_opt_state)
 
 
+def resolve_compute_dtype(precision: str):
+    """Map a CLI --precision flag to a compute dtype.
+
+    "auto" -> bf16 on TPU (the measured-best v5e operating point, PERF.md),
+    fp32 everywhere else; "bf16"/"fp32" force the choice."""
+    if precision == "bf16":
+        return jnp.bfloat16
+    if precision == "fp32":
+        return jnp.float32
+    if precision == "auto":
+        return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
+    raise ValueError(f"unknown precision {precision!r}")
+
+
 def cast_compute(tree, dtype):
     """Cast float leaves to the compute dtype (mixed precision: fp32 master
     params + optimizer state, bf16 activations/matmuls on the MXU; the
@@ -146,12 +161,15 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
                            jit: bool = True) -> Callable:
     """Returns jitted (state, vis_y, ir, rng) -> (state, metrics).
 
-    compute_dtype: activations dtype inside the forward/backward. fp32 is
-    the default AND the fast path on TPU: XLA already runs fp32 matmuls as
-    single-pass bf16 MXU ops (DEFAULT precision), while the Pallas scan and
-    depthwise-conv kernels force fp32 internally -- so bf16 activations only
-    insert convert ops around the kernels (measured 22.4 pairs/s bf16 vs
-    31.6 fp32 on v5e). bf16 remains available for memory-bound scaling.
+    compute_dtype: activations dtype inside the forward/backward. bf16 is
+    the measured-best operating point on v5e (77 pairs/s at batch 24 vs
+    47.4 at batch 12 fp32 -- PERF.md timeline): the Pallas scan and
+    depthwise-conv kernels take bf16 I/O natively (halving their HBM
+    traffic) while ALL math inside them stays fp32, matching the
+    reference's fp32-in-kernel policy; the fp32 loss trajectory matches to
+    3 decimals over 12 steps. The CLIs default to precision=auto (bf16 on
+    TPU, fp32 elsewhere); this function keeps fp32 as its own default for
+    exactness-by-default at the library layer.
 
     jit=False returns the raw traceable step (for embedding in a larger
     jitted region, e.g. bench.py's multi-step fori_loop).

@@ -106,7 +106,7 @@ def test_ssim_north_star(parity_pair):
 
 @pytest.mark.tpu
 @pytest.mark.slow
-def test_full_config_on_device_ssim(tmp_path):
+def test_full_config_on_device_ssim():
     """VERDICT r1 item 5: the FULL reference config (depths [2,2,9,2] /
     decoder [2,9,2,2], dims [96,192,384,768], 256^2 input --
     `vmamba_Fusion_efficross.py:754-757`) golden-compared ON DEVICE: torch
@@ -115,7 +115,7 @@ def test_full_config_on_device_ssim(tmp_path):
     cumsum_mm/bf16-dot kernel). Gate = the BASELINE.json north star,
     SSIM >= 0.999 through the test.py output pipeline (clamp [0,1] ->
     min-max renormalize, reference `test.py:82-100`). The measured value
-    is appended to PARITY.md for the judge."""
+    is recorded in PARITY.md (maintained by hand when this test is run)."""
     torch = pytest.importorskip("torch")
     DEPTHS, DEPTHS_DEC = (2, 2, 9, 2), (2, 9, 2, 2)
     DIMS, SIZE = (96, 192, 384, 768), 256

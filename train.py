@@ -27,11 +27,15 @@ def parse_args():
                     help="loader threads (cv2/PIL release the GIL); 0 = "
                          "synchronous in-loop loading")
     ap.add_argument("--scan_impl", type=str, default="auto")
-    ap.add_argument("--precision", choices=["bf16", "fp32"], default="fp32",
+    ap.add_argument("--precision", choices=["auto", "bf16", "fp32"],
+                    default="auto",
                     help="compute dtype for the train step (master params "
-                         "stay fp32; the SSM scan always runs fp32; fp32 is "
-                         "faster on v5e -- matmuls already use bf16 MXU "
-                         "passes, bf16 activations just add converts)")
+                         "stay fp32; all scan MATH stays fp32 in-kernel). "
+                         "auto = bf16 on TPU, fp32 elsewhere. bf16 is the "
+                         "measured-best operating point on v5e (77 pairs/s "
+                         "at batch 24 vs 47 at batch 12 fp32, PERF.md) -- "
+                         "the scan/dwconv kernels take bf16 I/O natively, "
+                         "halving their HBM traffic")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train on N deterministic synthetic pairs instead "
                          "of the on-disk dataset (drives the full CLI "
@@ -53,7 +57,7 @@ def train_fusion(args, dataset_name: str, logger):
     from fusionmamba_tpu.parallel.sharding import batch_sharding, make_mesh
     from fusionmamba_tpu.train import (
         TrainState, make_fusion_optimizer, make_fusion_train_step,
-        reference_fusion_lr, set_learning_rate)
+        reference_fusion_lr, resolve_compute_dtype, set_learning_rate)
 
     cfg_fn = full_config if args.model == "full" else tiny_config
     cfg = cfg_fn(scan_impl=args.scan_impl)
@@ -71,8 +75,7 @@ def train_fusion(args, dataset_name: str, logger):
     state = TrainState.create(apply_fn=model.apply, params=params,
                               tx=make_fusion_optimizer(1e-4))
     train_step = make_fusion_train_step(
-        model, compute_dtype=(jnp.bfloat16 if args.precision == "bf16"
-                              else jnp.float32))
+        model, compute_dtype=resolve_compute_dtype(args.precision))
 
     ds = (SyntheticFusionDataset(length=args.synthetic) if args.synthetic
           else FusionDataset(split="train", dataset_name=dataset_name))

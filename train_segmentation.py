@@ -33,10 +33,12 @@ def parse_args():
     ap.add_argument("--ckpt_dir", type=str, default="model_last/segmentation")
     ap.add_argument("--model", choices=["full", "tiny"], default="full")
     ap.add_argument("--scan_impl", type=str, default="auto")
-    ap.add_argument("--precision", choices=["bf16", "fp32"], default="fp32",
+    ap.add_argument("--precision", choices=["auto", "bf16", "fp32"],
+                    default="auto",
                     help="compute dtype for the train step (master params "
-                         "stay fp32; the SSM scan always runs fp32; fp32 is "
-                         "faster on v5e -- see train/loop.py)")
+                         "stay fp32; all scan MATH stays fp32 in-kernel). "
+                         "auto = bf16 on TPU, fp32 elsewhere -- bf16 is the "
+                         "measured-best v5e operating point (PERF.md)")
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="train/eval on N deterministic synthetic labeled "
                          "pairs instead of the on-disk dataset")
@@ -102,7 +104,7 @@ def main():
     from fusionmamba_tpu.models import VSSMFusionSeg
     from fusionmamba_tpu.train import (
         SegTrainState, make_seg_optimizer, make_seg_train_step, poly_lr,
-        set_learning_rate)
+        resolve_compute_dtype, set_learning_rate)
     from fusionmamba_tpu.utils import setup_logger
 
     logger = setup_logger(logpth=args.ckpt_dir)
@@ -144,8 +146,7 @@ def main():
         model, num_classes, mode=args.mode,
         fusion_weight=args.fusion_weight, seg_weight=args.seg_weight,
         class_weights=class_weights, improved=improved,
-        compute_dtype=(jnp.bfloat16 if args.precision == "bf16"
-                       else jnp.float32))
+        compute_dtype=resolve_compute_dtype(args.precision))
 
     steps_per_epoch = len(train_ds) // batch_size
     max_iter = steps_per_epoch * args.epochs
