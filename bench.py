@@ -1,4 +1,4 @@
-"""Benchmark: fused image pairs/sec/chip at 256^2 (training step, batch 6).
+"""Benchmark: fused image pairs/sec/chip at 256^2 (full training step).
 
 Comparable to the reference baseline recovered from its training logs:
 ~0.38 s/step at batch 6 => ~15.8 pairs/s on the authors' CUDA GPU

@@ -28,20 +28,37 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
+#: ssm_cfg keys the flax MambaBlock honors (`models/mamba_lm.py`); any other
+#: key in a checkpoint's config would silently build a mismatched model whose
+#: converted params only fail later with an opaque apply-time shape error.
+_SSM_CFG_KEYS = ("d_state", "d_conv", "expand", "dt_rank")
+
+
 def model_from_config(cfg: Dict[str, Any]) -> MambaLMHeadModel:
     """Build the flax LM from a `config.json` dict
     (`mamba_ssm/models/config_mamba.py` fields; vocab padded to the
-    `pad_vocab_size_multiple`, `mixer_seq_simple.py:181-184`)."""
+    `pad_vocab_size_multiple`, `mixer_seq_simple.py:181-184`).
+    Honors ssm_cfg's d_state/d_conv/expand/dt_rank and raises on any
+    other ssm_cfg key (e.g. `layer` selecting a non-Mamba1 mixer)."""
     vocab = int(cfg["vocab_size"])
     mult = int(cfg.get("pad_vocab_size_multiple", 8))
     if vocab % mult:
         vocab += mult - vocab % mult
     ssm_cfg = cfg.get("ssm_cfg") or {}
+    unknown = sorted(set(ssm_cfg) - set(_SSM_CFG_KEYS))
+    if unknown:
+        raise ValueError(
+            f"unsupported ssm_cfg keys {unknown}: this importer builds the "
+            f"Mamba-1 MambaBlock, which honors only {_SSM_CFG_KEYS}")
+    dt_rank = ssm_cfg.get("dt_rank", "auto")
     return MambaLMHeadModel(
         vocab_size=vocab,
         d_model=int(cfg["d_model"]),
         n_layer=int(cfg["n_layer"]),
         d_state=int(ssm_cfg.get("d_state", 16)),
+        d_conv=int(ssm_cfg.get("d_conv", 4)),
+        expand=int(ssm_cfg.get("expand", 2)),
+        dt_rank=None if dt_rank in ("auto", None) else int(dt_rank),
         rms_norm=bool(cfg.get("rms_norm", True)),
     )
 

@@ -11,6 +11,7 @@ TPU-native layout: tokens on sublanes, channels on lanes -- the same
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -135,6 +136,9 @@ class ResidualBlock(nn.Module):
     (`models/config_mamba.py` rms_norm=True default)."""
     d_model: int
     d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None
     scan_impl: str = "auto"
     norm_eps: float = 1e-5
     rms_norm: bool = False
@@ -144,6 +148,8 @@ class ResidualBlock(nn.Module):
         norm_cls = nn.RMSNorm if self.rms_norm else nn.LayerNorm
         h = norm_cls(epsilon=self.norm_eps, name="norm")(x)
         h, cache = MambaBlock(self.d_model, d_state=self.d_state,
+                              d_conv=self.d_conv, expand=self.expand,
+                              dt_rank=self.dt_rank,
                               scan_impl=self.scan_impl, name="mixer")(
             h, cache)
         return x + h, cache
@@ -156,6 +162,9 @@ class MambaLMHeadModel(nn.Module):
     d_model: int = 768
     n_layer: int = 24
     d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None
     scan_impl: str = "auto"
     norm_eps: float = 1e-5
     rms_norm: bool = False
@@ -164,6 +173,8 @@ class MambaLMHeadModel(nn.Module):
         self.embedding = nn.Embed(self.vocab_size, self.d_model)
         self.blocks = [
             ResidualBlock(self.d_model, d_state=self.d_state,
+                          d_conv=self.d_conv, expand=self.expand,
+                          dt_rank=self.dt_rank,
                           scan_impl=self.scan_impl, rms_norm=self.rms_norm)
             for _ in range(self.n_layer)
         ]
@@ -183,7 +194,8 @@ class MambaLMHeadModel(nn.Module):
 
     def init_caches(self, batch: int) -> list[dict]:
         return [
-            make_cache(batch, 2 * self.d_model, self.d_state)
+            make_cache(batch, self.expand * self.d_model, self.d_state,
+                       self.d_conv)
             for _ in range(self.n_layer)
         ]
 
@@ -214,18 +226,34 @@ def min_p_filter(logits: jax.Array, min_p: float) -> jax.Array:
     return jnp.where(probs < thresh, -jnp.inf, logits)
 
 
-def apply_repetition_penalty(logits: jax.Array, prev_tokens: jax.Array,
-                             penalty: float) -> jax.Array:
-    """CTRL-style repetition penalty over all previously emitted tokens
+def seen_mask(prev_tokens: jax.Array, vocab_size: int) -> jax.Array:
+    """(B, S) token history -> (B, V) bool membership mask. Generation
+    carries this fixed-size mask and scatter-updates it per emitted token
+    instead of re-one-hotting a growing (B, S, V) history every step."""
+    B = prev_tokens.shape[0]
+    mask = jnp.zeros((B, vocab_size), jnp.bool_)
+    return mask.at[jnp.arange(B)[:, None], prev_tokens].set(True)
+
+
+def apply_repetition_penalty_mask(logits: jax.Array, seen: jax.Array,
+                                  penalty: float) -> jax.Array:
+    """CTRL-style repetition penalty against a (B, V) seen-mask
     (`utils/generation.py:71-84`): negative logits are multiplied by the
-    penalty, positive ones divided. logits (B, V), prev_tokens (B, S)."""
+    penalty, positive ones divided."""
     if penalty == 1.0:
         return logits
-    V = logits.shape[-1]
-    seen = jnp.any(
-        jax.nn.one_hot(prev_tokens, V, dtype=jnp.bool_), axis=1)  # (B, V)
     penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
     return jnp.where(seen, penalized, logits)
+
+
+def apply_repetition_penalty(logits: jax.Array, prev_tokens: jax.Array,
+                             penalty: float) -> jax.Array:
+    """Token-history flavor of `apply_repetition_penalty_mask`: logits
+    (B, V), prev_tokens (B, S)."""
+    if penalty == 1.0:
+        return logits
+    return apply_repetition_penalty_mask(
+        logits, seen_mask(prev_tokens, logits.shape[-1]), penalty)
 
 
 def sample_logits(logits: jax.Array, rng: jax.Array, temperature: float = 1.0,
@@ -260,12 +288,31 @@ def generate(model: MambaLMHeadModel, variables: Any, prompt: jax.Array,
              max_new_tokens: int, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 0.0, min_p: float = 0.0,
              repetition_penalty: float = 1.0,
-             rng: jax.Array | None = None) -> jax.Array:
+             rng: jax.Array | None = None,
+             compiled: bool = True) -> jax.Array:
     """Autoregressive sampling with cached single-token steps
     (`utils/generation.py:121-242`; greedy when temperature == 0 or
     top_k == 1). The repetition penalty is applied against ALL tokens
     emitted so far including the prompt (`generation.py:222-228`,
-    `sequences_cat`)."""
+    `sequences_cat`).
+
+    `compiled=True` (default) runs the whole decode as ONE jitted
+    `lax.scan` program -- the TPU analog of the reference's CUDA-graph
+    captured decode (`utils/generation.py:269-379`): one dispatch instead
+    of one per token. `compiled=False` keeps the per-token Python loop
+    (the golden model for the parity test)."""
+    if prompt.ndim != 2 or prompt.shape[1] < 1:
+        raise ValueError(
+            f"prompt must be (B, S>=1) int tokens, got shape {prompt.shape}")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if compiled:
+        fn = _compiled_generate_fn(
+            model, max_new_tokens, prompt.shape[1], float(temperature),
+            int(top_k), float(top_p), float(min_p),
+            float(repetition_penalty))
+        return fn(variables, prompt, rng)
+
     B = prompt.shape[0]
     caches = model.init_caches(B)
     # prefill one token at a time (simple; prompt lengths are small for this
@@ -273,19 +320,67 @@ def generate(model: MambaLMHeadModel, variables: Any, prompt: jax.Array,
     for i in range(prompt.shape[1]):
         logits, caches = model.apply(variables, prompt[:, i:i + 1], caches)
     out = [prompt]
-    seen = prompt
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
+    vocab = logits.shape[-1]
+    seen = seen_mask(prompt, vocab)
     last_logits = logits[:, -1]
     for step in range(max_new_tokens):
-        stepped = apply_repetition_penalty(last_logits, seen,
-                                           repetition_penalty)
+        stepped = apply_repetition_penalty_mask(last_logits, seen,
+                                                repetition_penalty)
         rng, sub = jax.random.split(rng)
         tok = sample_logits(stepped, sub, temperature=temperature,
                             top_k=top_k, top_p=top_p, min_p=min_p)[:, None]
         out.append(tok)
         if repetition_penalty != 1.0:
-            seen = jnp.concatenate([seen, tok], axis=1)
+            seen = seen.at[jnp.arange(B), tok[:, 0]].set(True)
         logits, caches = model.apply(variables, tok, caches)
         last_logits = logits[:, -1]
     return jnp.concatenate(out, axis=1)
+
+
+@functools.cache
+def _compiled_generate_fn(model: MambaLMHeadModel, max_new_tokens: int,
+                          prompt_len: int, temperature: float, top_k: int,
+                          top_p: float, min_p: float,
+                          repetition_penalty: float):
+    """One jitted program for prefill + decode: `lax.scan` over the prompt
+    (single-token cached steps, identical math to the Python loop), then
+    `lax.scan` over `max_new_tokens` decode steps threading
+    (logits, caches, seen, rng) as the carry. Cached per (model, static
+    sampling config) -- repeat calls reuse the compiled executable, the
+    TPU analog of reusing a captured CUDA graph."""
+    track_seen = repetition_penalty != 1.0
+
+    def run(variables, prompt, rng):
+        B = prompt.shape[0]
+        caches = model.init_caches(B)
+
+        def prefill_step(caches, tok):
+            logits, caches = model.apply(variables, tok[:, None], caches)
+            return caches, logits[:, 0]
+
+        caches, all_logits = jax.lax.scan(
+            prefill_step, caches, jnp.swapaxes(prompt, 0, 1))
+        last_logits = all_logits[-1]
+        vocab = last_logits.shape[-1]
+        seen = (seen_mask(prompt, vocab) if track_seen
+                else jnp.zeros((B, 1), jnp.bool_))
+
+        def decode_step(carry, _):
+            last_logits, caches, seen, rng = carry
+            stepped = (apply_repetition_penalty_mask(
+                last_logits, seen, repetition_penalty) if track_seen
+                else last_logits)
+            rng, sub = jax.random.split(rng)
+            tok = sample_logits(stepped, sub, temperature=temperature,
+                                top_k=top_k, top_p=top_p, min_p=min_p)
+            if track_seen:
+                seen = seen.at[jnp.arange(B), tok].set(True)
+            logits, caches = model.apply(variables, tok[:, None], caches)
+            return (logits[:, -1], caches, seen, rng), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            decode_step, (last_logits, caches, seen, rng), None,
+            length=max_new_tokens)
+        return jnp.concatenate([prompt, jnp.swapaxes(toks, 0, 1)], axis=1)
+
+    return jax.jit(run)

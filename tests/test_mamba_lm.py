@@ -99,6 +99,39 @@ def test_generate_with_sampling_tail():
     assert (np.asarray(out) < 32).all() and (np.asarray(out) >= 0).all()
 
 
+def test_compiled_generate_matches_python_loop():
+    """The lax.scan compiled decode (TPU analog of the reference's
+    CUDA-graph capture, `utils/generation.py:269-379`) must be token-exact
+    vs the per-token Python loop, greedy and sampled (same rng path)."""
+    from fusionmamba_tpu.models.mamba_lm import generate
+
+    model = MambaLMHeadModel(vocab_size=32, d_model=16, n_layer=2,
+                             d_state=4, scan_impl="assoc")
+    tokens = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+
+    for kw in (dict(temperature=0.0),
+               dict(temperature=0.8, top_k=4, repetition_penalty=1.3,
+                    rng=jax.random.PRNGKey(7)),
+               dict(temperature=1.0, top_p=0.9, rng=jax.random.PRNGKey(9))):
+        a = generate(model, variables, tokens, max_new_tokens=5,
+                     compiled=False, **kw)
+        b = generate(model, variables, tokens, max_new_tokens=5,
+                     compiled=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_rejects_empty_prompt():
+    from fusionmamba_tpu.models.mamba_lm import generate
+
+    model = MambaLMHeadModel(vocab_size=8, d_model=8, n_layer=1,
+                             d_state=4, scan_impl="assoc")
+    tokens = jnp.asarray([[1]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    with pytest.raises(ValueError):
+        generate(model, variables, jnp.zeros((1, 0), jnp.int32), 3)
+
+
 def test_hf_import_round_trip():
     """export -> convert round-trips the full variables tree, and a
     converted checkpoint produces identical logits (RMSNorm flavor, like
@@ -134,3 +167,23 @@ def test_hf_import_round_trip():
                            "rms_norm": True, "pad_vocab_size_multiple": 8,
                            "ssm_cfg": {"d_state": 4}})
     assert m.vocab_size == 32 and m.rms_norm and m.d_state == 4
+
+
+def test_model_from_config_honors_and_validates_ssm_cfg():
+    from fusionmamba_tpu.checkpoints.hf_import import model_from_config
+
+    m = model_from_config({"d_model": 16, "n_layer": 1, "vocab_size": 32,
+                           "ssm_cfg": {"d_state": 8, "d_conv": 3,
+                                       "expand": 3, "dt_rank": 5}})
+    assert (m.d_state, m.d_conv, m.expand, m.dt_rank) == (8, 3, 3, 5)
+    # a non-default ssm_cfg must build a block whose params convert cleanly
+    tokens = jnp.asarray([[1, 2]], jnp.int32)
+    variables = m.init(jax.random.PRNGKey(0), tokens)
+    p = variables["params"]["blocks_0"]["mixer"]
+    assert p["conv1d_kernel"].shape[0] == 3          # d_conv honored
+    assert p["in_proj"]["kernel"].shape == (16, 2 * 3 * 16)  # expand=3
+    assert p["dt_proj_weight"].shape == (3 * 16, 5)  # dt_rank honored
+
+    with pytest.raises(ValueError, match="ssm_cfg"):
+        model_from_config({"d_model": 16, "n_layer": 1, "vocab_size": 32,
+                           "ssm_cfg": {"layer": "Mamba2"}})
