@@ -1,0 +1,67 @@
+"""Trace-time saturation-margin collection for the selective scan.
+
+The library-default scan algorithm ("cumsum_mm", `scan_pallas.py`) is exact
+only while |A| * group-sum(delta) stays inside the +-60 rescale clip; that
+holds at the reference init but is NOT guaranteed under training. This
+module lets a train step observe the margin of every scan it traces without
+threading a flag through the whole module tree:
+
+    with collect_saturation_margins() as margins:
+        out = model.apply(...)
+    metric = jnp.max(jnp.stack(margins))
+
+`selective_scan` records a margin into the active collector at TRACE time
+(a plain Python check -- zero cost when no collector is active, including
+in every jitted program traced outside the context). The recorded values
+are tracers of the enclosing trace, so they flow into the step's metrics
+like any other intermediate.
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .scan_pallas import SATURATION_CLIP, saturation_margin
+
+_ACTIVE: Optional[List[jax.Array]] = None
+
+
+@contextlib.contextmanager
+def collect_saturation_margins():
+    """Collect the saturation margin of every `selective_scan` traced in
+    the body. Yields the (initially empty) list; nesting restores the
+    outer collector on exit."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = []
+    try:
+        yield _ACTIVE
+    finally:
+        _ACTIVE = prev
+
+
+def maybe_record(delta, A, delta_bias, delta_softplus) -> None:
+    """Called by `selective_scan` on its raw inputs; no-op (and no traced
+    ops) unless a collector is active."""
+    if _ACTIVE is not None:
+        _ACTIVE.append(
+            saturation_margin(delta, A, delta_bias, delta_softplus))
+
+
+def reduce_margins(margins: List[jax.Array]) -> jax.Array:
+    """Max over collected margins (0.0 when none were recorded)."""
+    if not margins:
+        return jnp.float32(0.0)
+    return jnp.max(jnp.stack(margins))
+
+
+__all__ = [
+    "SATURATION_CLIP",
+    "collect_saturation_margins",
+    "maybe_record",
+    "reduce_margins",
+    "saturation_margin",
+]

@@ -147,6 +147,47 @@ _BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 128 * 1024))
 _L_CAP = int(os.environ.get("FM_SCAN_LCAP", 256))
 
 
+#: public alias of the rescale clip for guard/reporting code
+SATURATION_CLIP = _CLIP
+
+
+def saturation_margin(delta: jax.Array, A: jax.Array,
+                      delta_bias: jax.Array | None = None,
+                      delta_softplus: bool = True) -> jax.Array:
+    """Worst-case |S| the cumsum-family scans would see: the max over all
+    (batch, k, position, channel) of `max_n |A[k,d,n]| * group-cumsum(delta)`
+    with the same chunk/group partition `_pick_blocks`/`_cumsum_q` choose.
+
+    The shipped default algorithm ("cumsum_mm") is EXACT only while this
+    margin stays below `SATURATION_CLIP` (+-60): beyond it, exp(S) clips and
+    decay weights silently saturate (scan_pallas.py:76-85). True at the
+    reference init (margin ~51 worst case) but not guaranteed under
+    training -- this helper is the cheap runtime detector (it runs on the
+    UNEXPANDED (B, K, L, D) delta, ~1/N of the kernel's expanded width).
+
+    delta: (B, K, L, D) raw dt (pre-bias/softplus, as passed to
+    `selective_scan`); A: (K, D, N); delta_bias: (K, D) or None.
+    Returns a scalar fp32 margin. When the active algorithm has no rescale
+    clip ("doubling"/"twolevel"), the margin is still the quantity a switch
+    to the default WOULD see -- callers may ignore it in that case.
+    """
+    d = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        d = d + delta_bias[None, :, None, :]
+    if delta_softplus:
+        d = jax.nn.softplus(d)
+    B, K, L, D = d.shape
+    l_chunk = _largest_divisor_leq(L, _L_CAP, prefer_multiple=8)
+    q = min(_CUMSUM_Q, l_chunk)
+    while q > 1 and l_chunk % q:
+        q //= 2
+    if q < 1:
+        q = 1
+    gc = jnp.cumsum(d.reshape(B, K, L // q, q, D), axis=3)
+    amax = jnp.max(jnp.abs(A), axis=-1)            # (K, D)
+    return jnp.max(gc * amax[None, :, None, None, :])
+
+
 class _BlockCfg(NamedTuple):
     d_blk: int
     l_chunk: int

@@ -63,6 +63,11 @@ def selective_scan(
 ):
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if impl != "bypass":
+        # zero-cost unless a collect_saturation_margins() context is active
+        # (train steps use it to detect cumsum-clip saturation, scan_guard.py)
+        from .scan_guard import maybe_record
+        maybe_record(delta, A, delta_bias, delta_softplus)
     if impl == "auto":
         return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
                               delta_softplus, return_last_state)

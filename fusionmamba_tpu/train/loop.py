@@ -158,7 +158,8 @@ def cast_compute(tree, dtype):
 
 
 def make_fusion_train_step(model, compute_dtype=jnp.float32,
-                           jit: bool = True) -> Callable:
+                           jit: bool = True,
+                           scan_guard: bool = False) -> Callable:
     """Returns jitted (state, vis_y, ir, rng) -> (state, metrics).
 
     compute_dtype: activations dtype inside the forward/backward. bf16 is
@@ -171,23 +172,37 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
     TPU, fp32 elsewhere); this function keeps fp32 as its own default for
     exactness-by-default at the library layer.
 
+    scan_guard=True adds a `scan_sat_margin` metric: the max
+    |A|*group-sum(delta) any selective scan in the step saw (the shipped
+    cumsum_mm scan is exact only below ops.scan_guard.SATURATION_CLIP =
+    60 -- the training CLIs log it and warn on approach, so saturated
+    decay weights cannot pass silently). Costs ~2 extra passes over the
+    UNEXPANDED dt arrays (~1-2% of a step).
+
     jit=False returns the raw traceable step (for embedding in a larger
     jitted region, e.g. bench.py's multi-step fori_loop).
     """
+    import contextlib
+
+    from ..ops.scan_guard import collect_saturation_margins, reduce_margins
 
     def train_step(state: TrainState, vis_y, ir, rng):
         def loss_fn(params):
-            gen = model.apply({"params": cast_compute(params, compute_dtype)},
-                              vis_y.astype(compute_dtype),
-                              ir.astype(compute_dtype),
-                              deterministic=False, rngs={"dropout": rng})
+            guard_ctx = (collect_saturation_margins() if scan_guard
+                         else contextlib.nullcontext([]))
+            with guard_ctx as margins:
+                gen = model.apply(
+                    {"params": cast_compute(params, compute_dtype)},
+                    vis_y.astype(compute_dtype),
+                    ir.astype(compute_dtype),
+                    deterministic=False, rngs={"dropout": rng})
             gen = gen.astype(jnp.float32)
             gen = jnp.clip(gen, 0.0, 1.0)   # train.py:149-152 clamp
             out = fusion_loss(vis_y, ir, gen)
-            return out.total, out
+            return out.total, (out, reduce_margins(margins))
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (_, (aux, margin)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         metrics = {
             "loss_total": aux.total,
@@ -195,6 +210,8 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
             "loss_ssim": aux.ssim_value,
             "loss_grad": aux.loss_grad,
         }
+        if scan_guard:
+            metrics["scan_sat_margin"] = margin
         return state, metrics
 
     if jit:

@@ -21,7 +21,10 @@ def parse_args():
                     choices=["acod", "mfnet", "pst900", "all"])
     ap.add_argument("--epochs", "-E", type=int, default=2)
     ap.add_argument("--batch_size", "-B", type=int, default=6)
-    ap.add_argument("--model", choices=["full", "tiny"], default="full")
+    ap.add_argument("--model", choices=["full", "tiny", "test"],
+                    default="full",
+                    help="full/tiny are the reference variants; test is a "
+                         "miniature config for CI-scale mesh tests")
     ap.add_argument("--ckpt_dir", type=str, default="model_last/my_cross")
     ap.add_argument("--num_workers", "-j", type=int, default=8,
                     help="loader threads (cv2/PIL release the GIL); 0 = "
@@ -40,6 +43,24 @@ def parse_args():
                     help="train on N deterministic synthetic pairs instead "
                          "of the on-disk dataset (drives the full CLI "
                          "end-to-end without the reference datasets)")
+    ap.add_argument("--mesh", type=str, default="", metavar="NDATA,NMODEL",
+                    help="device mesh: batch sharded over NDATA, the large "
+                         "SS2D/MLP projections Megatron-sharded over NMODEL "
+                         "(parallel/sharding.py; optimizer moments follow "
+                         "their params). Default: all local devices "
+                         "data-parallel. Combine with --scan_impl sp to "
+                         "also shard the scan's sequence axis over 'model'")
+    ap.add_argument("--image_size", type=int, default=256,
+                    help="synthetic-data image size (the reference pipeline "
+                         "is fixed at 256; used by tests on small meshes)")
+    ap.add_argument("--scan_guard", dest="scan_guard", action="store_true",
+                    default=True,
+                    help="monitor the scan's cumsum-rescale saturation "
+                         "margin every logged step (the library-default "
+                         "scan algorithm is exact only below margin 60; "
+                         "see ops/scan_guard.py). Costs ~1-2%% of a step")
+    ap.add_argument("--no_scan_guard", dest="scan_guard",
+                    action="store_false")
     return ap.parse_args()
 
 
@@ -54,16 +75,20 @@ def train_fusion(args, dataset_name: str, logger):
                                       batch_iterator)
     from fusionmamba_tpu.data.prefetch import device_prefetch, threaded_batches
     from fusionmamba_tpu.models import VSSMFusion
-    from fusionmamba_tpu.parallel.sharding import batch_sharding, make_mesh
+    from fusionmamba_tpu.parallel.sharding import (
+        batch_sharding, make_mesh, opt_state_shardings, param_shardings)
     from fusionmamba_tpu.train import (
         TrainState, make_fusion_optimizer, make_fusion_train_step,
         reference_fusion_lr, resolve_compute_dtype, set_learning_rate)
 
-    cfg_fn = full_config if args.model == "full" else tiny_config
+    size = args.image_size
+    from fusionmamba_tpu.config import test_config
+    cfg_fn = {"full": full_config, "tiny": tiny_config,
+              "test": test_config}[args.model]
     cfg = cfg_fn(scan_impl=args.scan_impl)
     model = VSSMFusion(cfg)
 
-    x0 = jnp.zeros((1, 256, 256, 1), jnp.float32)
+    x0 = jnp.zeros((1, size, size, 1), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0, x0)
     params = variables["params"]
 
@@ -72,15 +97,33 @@ def train_fusion(args, dataset_name: str, logger):
         logger.info(f"warm start from {ckpt_path}")
         params = load_checkpoint(ckpt_path, params)
 
-    state = TrainState.create(apply_fn=model.apply, params=params,
-                              tx=make_fusion_optimizer(1e-4))
-    train_step = make_fusion_train_step(
-        model, compute_dtype=resolve_compute_dtype(args.precision))
+    if args.mesh:
+        n_data, n_model = (int(v) for v in args.mesh.split(","))
+    else:
+        n_data, n_model = jax.local_device_count(), 1
+    n_devices = n_data * n_model
+    mesh = make_mesh(n_data, n_model)
+    tensor_parallel = n_model > 1
 
-    ds = (SyntheticFusionDataset(length=args.synthetic) if args.synthetic
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        # flatten=False under tensor parallelism: moments keep the param
+        # tree so they can carry their params' Megatron shardings
+        tx=make_fusion_optimizer(1e-4, flatten=not tensor_parallel))
+    if tensor_parallel:
+        state = state.replace(
+            params=jax.device_put(state.params,
+                                  param_shardings(mesh, state.params)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_shardings(mesh, state.opt_state, state.params)))
+    train_step = make_fusion_train_step(
+        model, compute_dtype=resolve_compute_dtype(args.precision),
+        scan_guard=args.scan_guard)
+
+    ds = (SyntheticFusionDataset(length=args.synthetic, size=(size, size))
+          if args.synthetic
           else FusionDataset(split="train", dataset_name=dataset_name))
-    n_devices = jax.local_device_count()
-    mesh = make_mesh(n_devices, 1)
     bs = batch_sharding(mesh)
 
     steps_per_epoch = len(ds) // args.batch_size
@@ -107,8 +150,9 @@ def train_fusion(args, dataset_name: str, logger):
                                               shuffle=True, seed=epoch))
         for batch in it:
             vis_y, ir = batch[0], batch[1]
-            state, metrics = train_step(state, vis_y, ir,
-                                        jax.random.fold_in(key, step))
+            with mesh:
+                state, metrics = train_step(state, vis_y, ir,
+                                            jax.random.fold_in(key, step))
             step += 1
             if step % 10 == 0:
                 jax.block_until_ready(metrics)
@@ -128,6 +172,21 @@ def train_fusion(args, dataset_name: str, logger):
                         lg=float(metrics["loss_grad"]),
                         t=t_int, eta=eta))
                 st = ed
+                if "scan_sat_margin" in metrics:
+                    margin = float(metrics["scan_sat_margin"])
+                    from fusionmamba_tpu.ops.scan_guard import SATURATION_CLIP
+                    if margin >= SATURATION_CLIP:
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} EXCEEDS "
+                            f"the cumsum rescale clip ({SATURATION_CLIP}): "
+                            "the default scan is saturating decay weights; "
+                            "set FM_SCAN_ALGO=doubling (exact for any "
+                            "magnitude) and restart")
+                    elif margin >= 0.9 * SATURATION_CLIP:
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} is within "
+                            f"10% of the clip ({SATURATION_CLIP}); consider "
+                            "FM_SCAN_ALGO=doubling")
     save_checkpoint(ckpt_path, jax.device_get(state.params))
     logger.info(f"saved {ckpt_path}")
 
