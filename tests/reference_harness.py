@@ -120,9 +120,30 @@ def install_reference_shims():
                 out = out * F.silu(z.float())
             return [out, torch.cat(states, dim=1)]
 
-        def bwd(*args, **kwargs):
-            raise NotImplementedError(
-                "CPU reference shim is forward-only (parity tests run eval)")
+        def bwd(u, delta, A, B, C, D, z, delta_bias, dout, x, out, dz,
+                delta_softplus, recompute_out_z=False):
+            """Extension bwd ABI (`selective_scan.cpp:489-492`, called from
+            `models/cross.py:123-133`) via torch-autograd replay of the fwd
+            recurrence: exact CPU gradients for full-model grad-parity
+            tests. z/out_z paths are unused by the fusion model's binding
+            (it always passes z=None)."""
+            assert z is None and dz is None, "z-fused path not exercised"
+            leaves = [t.detach().clone().requires_grad_(True)
+                      if t is not None else None
+                      for t in (u, delta, A, B, C, D, delta_bias)]
+            with torch.enable_grad():
+                o, _ = fwd(leaves[0], leaves[1], leaves[2], leaves[3],
+                           leaves[4], leaves[5], None, leaves[6],
+                           delta_softplus)
+                live = [t for t in leaves if t is not None]
+                grads = iter(torch.autograd.grad(o, live, dout))
+            full = [next(grads) if t is not None else None for t in leaves]
+            du, ddelta, dA, dB, dC, dD, ddb = full
+            if dD is None:
+                dD = torch.zeros_like(D) if D is not None else None
+            if ddb is None and delta_bias is not None:
+                ddb = torch.zeros_like(delta_bias)
+            return [du, ddelta, dA, dB, dC, dD, ddb]
 
         ssc.fwd = fwd
         ssc.bwd = bwd
