@@ -44,12 +44,40 @@ def pytest_configure(config):
         "markers", "tpu: needs the real TPU backend (set FM_TESTS_TPU=1)")
     config.addinivalue_line(
         "markers", "slow: heavy test (torch golden / full configs)")
+    config.addinivalue_line(
+        "markers", "smoke: fast pure-CPU tier (`pytest -m smoke` targets "
+                   "< 3 min cold on a 1-core box; see the verify skill)")
+
+
+# modules whose non-slow/non-tpu tests form the smoke tier: one fast check
+# per layer (kernel math, 2-D layouts, losses, data, guard) -- chosen so a
+# COLD `pytest -m smoke` stays < 3 min on the 1-core box (measured 2026-08:
+# ~170 s cold / ~105 s warm; checkpoints + the compiled-train-step guard
+# test are excluded for their torch-import setup / train-step compile cost)
+_SMOKE_MODULES = {
+    "test_scan.py",        # scan oracle/assoc/interpret golden + grads
+    "test_scan2d.py",      # efficient/cross scan layouts + autodiff
+    "test_scan_guard.py",  # saturation margin + collector
+    "test_losses.py",      # SSIM/MS-SSIM/Fusionloss vs torch
+    "test_data.py",        # dataset discovery/synthetic/prefetch
+}
+
+# individually too heavy for the smoke budget (compile-dominated)
+_SMOKE_EXCLUDE = {"test_train_step_emits_margin_metric"}
 
 
 def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if (item.fspath.basename in _SMOKE_MODULES
+                and item.originalname not in _SMOKE_EXCLUDE
+                and "slow" not in item.keywords
+                and "tpu" not in item.keywords):
+            item.add_marker(pytest.mark.smoke)
+
     if TPU_TIER:
         return
-    import pytest
 
     skip = pytest.mark.skip(reason="TPU tier disabled (set FM_TESTS_TPU=1)")
     for item in items:
