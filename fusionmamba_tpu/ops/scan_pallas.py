@@ -146,6 +146,37 @@ _BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 128 * 1024))
 # carry inject per chunk; 256 measured best on v5e (see tools/bench_scan.py)
 _L_CAP = int(os.environ.get("FM_SCAN_LCAP", 256))
 
+# TIMING-ONLY ablation flags for the backward kernel (comma-separated;
+# produce WRONG gradients -- never set outside tools/bench_bwd_passes.py):
+#   parts      P = Pinv = 1 (skip the S concat + exp + reciprocal)
+#   recompute  skip the forward rescan (x/W from b directly)
+#   rev        skip the reverse scan (g/G2 from src directly)
+#   daa        daa = G2 (skip the shifted-W product)
+#   loop       skip the per-n gB/daaA accumulation
+#   graddots   skip the dB/dC/dA contractions (write zeros)
+#   build      b/src from tiled du_t/dy (skip the B/C expansion muls)
+_ABLATE = frozenset(
+    f for f in os.environ.get("FM_SCAN_ABLATE", "").split(",") if f)
+
+# how the cumsum algorithms produce Pinv = exp(-clip(S)): "div" = 1/P
+# (one fp32 divide pass), "exp" = a second exp pass (measured on v5e --
+# see PERF.md; the two are bit-different only in the last ulp)
+_PINV_MODE = os.environ.get("FM_SCAN_PINV", "div")
+
+# how the cumsum algorithms read one row per q-group (group-end decay
+# products / sums): "slice" = a strided sublane extract, "mask" = the
+# where+sum reduction it replaces (a ~log2(q) sublane-rotate tree per use
+# on the issue-bound VPU; kept selectable for lowering regressions)
+_ROWSEL_MODE = os.environ.get("FM_SCAN_ROWSEL", "mask")
+
+
+def _take_row(x4: jax.Array, row: int) -> jax.Array:
+    """(T, G, q, F) -> (T, G, F): extract sublane `row` of every group."""
+    if _ROWSEL_MODE == "slice":
+        return x4[:, :, row, :]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x4.shape, 2)
+    return jnp.sum(jnp.where(idx == row, x4, 0.0), axis=2)
+
 
 #: public alias of the rescale clip for guard/reporting code
 SATURATION_CLIP = _CLIP
@@ -487,6 +518,28 @@ def _grad_block_dot(prod: jax.Array, blockones: jax.Array) -> jax.Array:
                        preferred_element_type=jnp.float32)
 
 
+def _grad_colsum_dot(prod: jax.Array) -> jax.Array:
+    """sum over axis 0 of (L, F) as an MXU ones-row dot -> (1, F).
+
+    Replaces a cross-sublane reduce tree (log2(L) sublane passes on the
+    issue-bound VPU) with one matmul; the ones row is exact, so only the
+    summand carries the _GRAD_MM_MODE-dependent dot rounding. The M=8 rows
+    keep the dot on a full sublane tile; row 0 is the result."""
+    L = prod.shape[0]
+    if _GRAD_MM_MODE == "hilo":
+        ones = jnp.ones((8, L), jnp.bfloat16)
+        hi, lo = _veltkamp_split_bf16(prod)
+        out = (jax.lax.dot(ones, hi, preferred_element_type=jnp.float32)
+               + jax.lax.dot(ones, lo, preferred_element_type=jnp.float32))
+    else:
+        prec = (jax.lax.Precision.HIGHEST if _GRAD_MM_MODE == "highest"
+                else jax.lax.Precision.DEFAULT)
+        ones = jnp.ones((8, L), prod.dtype)
+        out = jax.lax.dot(ones, prod, precision=prec,
+                          preferred_element_type=jnp.float32)
+    return out[0:1]
+
+
 def _expand_nvals(v: jax.Array, d_blk: int) -> jax.Array:
     """(T, L, N) -> (T, L, N*d_blk) fp32 with out[..., n*d_blk+d] = v[..., n].
 
@@ -560,12 +613,18 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
     trel = _cumsum_ax(d4, q).reshape(T, L, d_blk)
     S = jnp.concatenate(
         [trel * At[:, n:n + 1, :] for n in range(N)], axis=-1)
-    P = jnp.exp(jnp.clip(S, -_CLIP, _CLIP))
+    Sc = jnp.clip(S, -_CLIP, _CLIP)
+    P = jnp.exp(Sc)
+    if "pinv" in _ABLATE:
+        return P, P
+    if _PINV_MODE == "exp":
+        return P, jnp.exp(-Sc)
     return P, 1.0 / P
 
 
 def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
-                 h0: jax.Array, parts=None, return_parts: bool = False):
+                 h0: jax.Array, parts=None, return_parts: bool = False,
+                 ga: jax.Array | None = None):
     """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
     a = exp(delta*A) and x_{-1} = h0 (the chunk carry, (T, 1, F)), along
     axis -2. Only ONE expanded array (Z = b * exp(-S)) is scanned, with a
@@ -593,11 +652,10 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
         if return_parts:
             return x, W4, h0
         return x
-    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
-    last = idx == q - 1
-    ga = jnp.sum(jnp.where(last, P4, 0.0), axis=2)       # group a-products
+    if ga is None:
+        ga = _take_row(P4, q - 1)                        # group a-products
     # group-local end state = P_end * csum_end (the deferred P-fold)
-    gx = ga * jnp.sum(jnp.where(last, csum, 0.0), axis=2)
+    gx = ga * _take_row(csum, q - 1)
     gb = jnp.concatenate([gx[:, :1] + ga[:, :1] * h0, gx[:, 1:]], axis=1)
     _, gX = _doubling_scan(ga, gb)                       # over G (1/q size)
     prev_x = jnp.concatenate([h0, gX[:, : G - 1, :]], axis=1)
@@ -610,7 +668,8 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
 
 def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
                      q: int, gc: jax.Array, parts=None,
-                     return_parts: bool = False):
+                     return_parts: bool = False,
+                     ga: jax.Array | None = None):
     """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1}, seeded with
     r_L = gc (the carry from the chunk to the right, (T, 1, F), already
     multiplied by its leading a). Carry injection rides the group-level
@@ -626,8 +685,8 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
     P4 = P.reshape(T, G, q, F)
     Pinv4 = Pinv.reshape(T, G, q, F)
     V4 = _cumsum_ax((src * P).reshape(T, G, q, F), q, up=True)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (T, G, q, F), 2)
-    ga = jnp.sum(jnp.where(idx == q - 1, P4, 0.0), axis=2)
+    if ga is None:
+        ga = _take_row(P4, q - 1)
     if G == 1:
         G2 = V4 + (ga * gc)[:, :, None, :]
         r = (Pinv4 * G2).reshape(T, L, F)
@@ -636,9 +695,8 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
         return r
     # carry entering group g at its end: C_g = u_{g+1} + ga_{g+1} C_{g+1}
     # with C_{G-1} = gc; u_g = sum_{s in g} exp(S_s) src_s is exactly row 0
-    # of V4 (one mask-reduce, avoids the P*Pinv rounding)
-    first = idx == 0
-    u = jnp.sum(jnp.where(first, V4, 0.0), axis=2)
+    # of V4 (one row extract, avoids the P*Pinv rounding)
+    u = _take_row(V4, 0)
     b_g = jnp.concatenate([u[:, 1:, :], gc], axis=1)
     a_next = jnp.concatenate([ga[:, 1:, :], jnp.ones((T, 1, F), ga.dtype)],
                              axis=1)
@@ -840,20 +898,40 @@ def _bwd_kernel(
         dut_t = dy_t = None
         Bc = B_ref[:].astype(jnp.float32)
         Cc = C_ref[:].astype(jnp.float32)
-        b = jnp.concatenate(
-            [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-        src = jnp.concatenate(
-            [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+        if "build" in _ABLATE:
+            b = _tile_d(du_t, N)
+            src = _tile_d(dy, N)
+        else:
+            b = jnp.concatenate(
+                [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+            src = jnp.concatenate(
+                [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     gc = g_carry[:]                            # carry from chunk to right
     q = _cumsum_q(delta.shape[-2])
     if q:
         parts = _rescaled_group_parts(delta, At, q)   # shared by both scans
-        x, W4, prev_x = _cumsum_scan(delta, At, b, q, h0_flat, parts,
-                                     return_parts=True)
+        if "parts" in _ABLATE:
+            parts = (jnp.ones_like(b), jnp.ones_like(b))
+        # group decay products shared by the recompute and reverse scans
+        Tq, Lq, Fq = b.shape
+        Gq = Lq // q
+        P4s = parts[0].reshape(Tq, Gq, q, Fq)
+        ga_sh = _take_row(P4s, q - 1)
+        if "recompute" in _ABLATE:
+            x = b
+            W4 = b.reshape(Tq, Gq, q, Fq)
+            prev_x = ga_sh
+        else:
+            x, W4, prev_x = _cumsum_scan(delta, At, b, q, h0_flat, parts,
+                                         return_parts=True, ga=ga_sh)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
-        g, G2 = _cumsum_scan_rev(delta, At, src, q, gc, parts,
-                                 return_parts=True)
+        if "rev" in _ABLATE:
+            g = src
+            G2 = src.reshape(Tq, Gq, q, Fq)
+        else:
+            g, G2 = _cumsum_scan_rev(delta, At, src, q, gc, parts,
+                                     return_parts=True, ga=ga_sh)
         # daa = g * a * x_prev with the group rescales cancelled
         # ALGEBRAICALLY: within a group a_l = P_l Pinv_{l-1},
         # x_{l-1} = P_{l-1} W_{l-1} and g_l = Pinv_l G2_l, so
@@ -864,9 +942,12 @@ def _bwd_kernel(
         # head a_0 g_0 = G2_0 directly (P_0 = a_0), which also serves as
         # the outgoing gradient carry.
         Tt, Gg, q_, Ff = G2.shape
-        Wsh = jnp.concatenate(
-            [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
-        daa = (G2 * Wsh).reshape(Tt, Gg * q_, Ff)
+        if "daa" in _ABLATE:
+            daa = G2.reshape(Tt, Gg * q_, Ff)
+        else:
+            Wsh = jnp.concatenate(
+                [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
+            daa = (G2 * Wsh).reshape(Tt, Gg * q_, Ff)
         g_carry[:, 0:1, :] = G2[:, 0, 0:1, :]
     else:
         a = jnp.exp(jnp.concatenate(
@@ -902,20 +983,41 @@ def _bwd_kernel(
     daaA = jnp.zeros_like(u)        # sum_n daa_n * A_n
     dA_parts, dB_parts, dC_parts = [], [], []
     grad_mm = _GRAD_MM_MODE != "off"
-    for n in range(N):
-        sl = slice(n * d_blk, (n + 1) * d_blk)
-        gn = g[:, :, sl]
-        daan = daa[:, :, sl]
-        gB = gB + gn * Bc[:, :, n:n + 1]
-        daaA = daaA + daan * At[:, n:n + 1, :]
-        dA_parts.append(jnp.sum(daan * delta, axis=1, keepdims=True))
-        if not grad_mm:
-            dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
-            dC_parts.append(jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
+    if "loop" in _ABLATE:
+        gB = g[:, :, :d_blk]
+        daaA = daa[:, :, :d_blk]
+    else:
+        for n in range(N):
+            sl = slice(n * d_blk, (n + 1) * d_blk)
+            gn = g[:, :, sl]
+            daan = daa[:, :, sl]
+            gB = gB + gn * Bc[:, :, n:n + 1]
+            daaA = daaA + daan * At[:, n:n + 1, :]
+            if not grad_mm:
+                dA_parts.append(
+                    jnp.sum(daan * delta, axis=1, keepdims=True))
+                dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
+                dC_parts.append(
+                    jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
     ddelta = daaA + u * gB
     du_acc = du_acc + delta * gB
-    dA_ref[:, :, 0] += jnp.concatenate(dA_parts, axis=-1)
-    if grad_mm:
+    if "graddots" in _ABLATE:
+        dA_ref[:, :, 0] += daa[:, 0:1, :]
+        dB_ref[:, 0] = g[:, :, 0:N]
+        dC_ref[:, 0] = x[:, :, 0:N]
+    elif grad_mm:
+        # dA_{nd} = sum_l daa_{l,nd} * delta_{l,d}: one F-wide multiply
+        # against the N-tiled delta + an MXU ones-row column sum, instead
+        # of N cross-sublane reduce trees (log2(L) sublane passes each)
+        prodA = daa * _tile_d(delta, N)
+        dA_acc = jnp.stack(
+            [_grad_colsum_dot(prodA[t])[0] for t in range(prodA.shape[0])])
+        dA_ref[:, :, 0] += dA_acc[:, None]
+    else:
+        dA_ref[:, :, 0] += jnp.concatenate(dA_parts, axis=-1)
+    if "graddots" in _ABLATE:
+        pass  # dB/dC already written above
+    elif grad_mm:
         # dB_{l,n} = sum_d g_{l,nd} du_{l,d} (and dC likewise with x, dy)
         # as ONE F-wide multiply + an MXU block-ones dot per BK-tile row,
         # instead of N cross-lane reduce sequences (~log2(d_blk) F-wide
