@@ -163,6 +163,11 @@ _ABLATE = frozenset(
 # see PERF.md; the two are bit-different only in the last ulp)
 _PINV_MODE = os.environ.get("FM_SCAN_PINV", "div")
 
+# how the backward contracts gB = sum_n g_n*B_n / daaA = sum_n daa_n*A_n:
+# "loop" = per-n slice + fma accumulation, "mm" = F-wide multiply against
+# lane-broadcast expansions + exact block-ones MXU dots (see PERF.md)
+_NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
+
 # how the cumsum algorithms read one row per q-group (group-end decay
 # products / sums): "slice" = a strided sublane extract, "mask" = the
 # where+sum reduction it replaces (a ~log2(q) sublane-rotate tree per use
@@ -986,6 +991,18 @@ def _bwd_kernel(
     if "loop" in _ABLATE:
         gB = g[:, :, :d_blk]
         daaA = daa[:, :, :d_blk]
+    elif _NLOOP_MODE == "mm" and grad_mm:
+        # n-contractions on the MXU: one F-wide multiply against the
+        # lane-broadcast B/A expansions + one exact block-ones dot each,
+        # instead of N lane-offset slices of g/daa (relayout copies) with
+        # 4N d_blk-wide VPU fma passes
+        ones_u = jnp.ones_like(u)
+        B_exp = jnp.concatenate(
+            [ones_u * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+        A_exp = jnp.concatenate(
+            [ones_u * At[:, n:n + 1, :] for n in range(N)], axis=-1)
+        gB = _contract_nvals(g * B_exp, N, d_blk)
+        daaA = _contract_nvals(daa * A_exp, N, d_blk)
     else:
         for n in range(N):
             sl = slice(n * d_blk, (n + 1) * d_blk)
