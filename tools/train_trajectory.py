@@ -30,6 +30,11 @@ ARMS = {
 
 def run_arm(args) -> None:
     import jax
+
+    if args.cpu:
+        # pin BEFORE first backend use -- the axon sitecustomize otherwise
+        # routes everything (incl. this validation tier) to the TPU tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -39,7 +44,10 @@ def run_arm(args) -> None:
     from fusionmamba_tpu.train.loop import (
         TrainState, make_fusion_optimizer, make_fusion_train_step)
 
-    on_tpu = jax.default_backend() == "tpu"
+    # the axon tunnel registers the device as platform "axon"/"tpu"
+    # depending on version -- anything that is not the pinned CPU tier
+    # runs the full config on the accelerator
+    on_tpu = jax.default_backend() != "cpu"
     cfg = full_config() if on_tpu else test_config(scan_impl="assoc")
     size = 256 if on_tpu else 32
     model = VSSMFusion(cfg)
@@ -82,6 +90,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--out", default="/tmp/fm-trajectory")
+    ap.add_argument("--cpu", action="store_true",
+                    help="validation tier: pin the CPU backend + tiny config")
     ap.add_argument("--arm", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--precision", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -96,7 +106,8 @@ def main():
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--arm", name,
              "--precision", precision, "--steps", str(args.steps),
-             "--batch", str(args.batch), "--out", args.out],
+             "--batch", str(args.batch), "--out", args.out]
+            + (["--cpu"] if args.cpu else []),
             env=full, check=True)
 
     traj = {}
