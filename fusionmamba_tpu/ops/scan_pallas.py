@@ -168,6 +168,17 @@ _PINV_MODE = os.environ.get("FM_SCAN_PINV", "div")
 # lane-broadcast expansions + exact block-ones MXU dots (see PERF.md)
 _NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
 
+# fused build x rescale for the cumsum algorithms: build the PRE-SCALED scan
+# operands directly inside the per-n concats -- Z_n = du*B_n*exp(-s_n) and
+# (backward) V_n = C_n*dy*exp(+s_n) with s_n = clip(trel*A_n) computed at
+# d_blk width per operand -- so the expanded S, b, src (and, forward-only,
+# Pinv) arrays are never materialized: ~3 fewer expanded-width VMEM
+# round-trips per scan at identical elementwise flop count (the per-element
+# exp/mul work just moves inside the concat operands). The kernel is
+# vector-ISSUE bound (PERF.md), so eliminating materialize+reload issue
+# slots is the remaining lever the pass-count algebra left.
+_FUSE = os.environ.get("FM_SCAN_FUSE", "0") == "1"
+
 # how the cumsum algorithms read one row per q-group (group-end decay
 # products / sums): "slice" = a strided sublane extract, "mask" = the
 # where+sum reduction it replaces (a ~log2(q) sublane-rotate tree per use
@@ -601,6 +612,13 @@ def _tile_d(x: jax.Array, N: int) -> jax.Array:
     return jnp.concatenate([x] * N, axis=-1)
 
 
+def _group_rel_cumsum(delta: jax.Array, q: int) -> jax.Array:
+    """Group-relative inclusive cumsum of delta along L: (T, L, d_blk)."""
+    T, L, d_blk = delta.shape
+    G = L // q
+    return _cumsum_ax(delta.reshape(T, G, q, d_blk), q).reshape(T, L, d_blk)
+
+
 def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
     """Shared prologue of the cumsum algorithm: per-group rescale factors.
 
@@ -613,9 +631,7 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
     """
     T, L, d_blk = delta.shape
     N = At.shape[1]
-    G = L // q
-    d4 = delta.reshape(T, G, q, d_blk)
-    trel = _cumsum_ax(d4, q).reshape(T, L, d_blk)
+    trel = _group_rel_cumsum(delta, q)
     S = jnp.concatenate(
         [trel * At[:, n:n + 1, :] for n in range(N)], axis=-1)
     Sc = jnp.clip(S, -_CLIP, _CLIP)
@@ -629,7 +645,8 @@ def _rescaled_group_parts(delta: jax.Array, At: jax.Array, q: int):
 
 def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
                  h0: jax.Array, parts=None, return_parts: bool = False,
-                 ga: jax.Array | None = None):
+                 ga: jax.Array | None = None,
+                 Zpre: jax.Array | None = None):
     """Log-space inclusive scan of x_l = a_l x_{l-1} + b_l with
     a = exp(delta*A) and x_{-1} = h0 (the chunk carry, (T, 1, F)), along
     axis -2. Only ONE expanded array (Z = b * exp(-S)) is scanned, with a
@@ -639,16 +656,19 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
     happens once -- vs the previous a_cum materialization + F-wide fma
     epilogue this saves three expanded-width VPU passes per chunk.
     `parts` lets a caller share one (P, Pinv) computation across scans.
+    `Zpre` (FM_SCAN_FUSE) supplies the pre-scaled Z = b * exp(-S) directly
+    (built fused per-n by the kernel), in which case `b` and parts[1] are
+    not read -- the forward then never materializes Pinv.
 
     With return_parts=True also returns the PRE-RESCALE pieces the backward
     kernel's daa factorization needs: (x, W4, prev_x) where x = P4 * W4
     (W4 rank-4 (T, G, q, F)) and prev_x (T, G, F) is the state entering
     each group (h0 for group 0).
     """
-    T, L, F = b.shape
+    T, L, F = (b if Zpre is None else Zpre).shape
     G = L // q
     P, Pinv = parts or _rescaled_group_parts(delta, At, q)
-    Z4 = (b * Pinv).reshape(T, G, q, F)
+    Z4 = (Zpre if Zpre is not None else b * Pinv).reshape(T, G, q, F)
     P4 = P.reshape(T, G, q, F)
     csum = _cumsum_ax(Z4, q)
     if G == 1:
@@ -674,7 +694,8 @@ def _cumsum_scan(delta: jax.Array, At: jax.Array, b: jax.Array, q: int,
 def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
                      q: int, gc: jax.Array, parts=None,
                      return_parts: bool = False,
-                     ga: jax.Array | None = None):
+                     ga: jax.Array | None = None,
+                     Vpre: jax.Array | None = None):
     """Log-space reverse scan r_l = src_l + a_{l+1} r_{l+1}, seeded with
     r_L = gc (the carry from the chunk to the right, (T, 1, F), already
     multiplied by its leading a). Carry injection rides the group-level
@@ -683,13 +704,16 @@ def _cumsum_scan_rev(delta: jax.Array, At: jax.Array, src: jax.Array,
 
     With return_parts=True also returns G2 (rank-4 (T, G, q, F)) with
     r = Pinv4 * G2 -- the pre-rescale adjoint the backward's daa
-    factorization consumes."""
-    T, L, F = src.shape
+    factorization consumes. `Vpre` (FM_SCAN_FUSE) supplies the pre-scaled
+    src * P directly (built fused per-n by the kernel), in which case
+    `src` is not read."""
+    T, L, F = (src if Vpre is None else Vpre).shape
     G = L // q
     P, Pinv = parts or _rescaled_group_parts(delta, At, q)
     P4 = P.reshape(T, G, q, F)
     Pinv4 = Pinv.reshape(T, G, q, F)
-    V4 = _cumsum_ax((src * P).reshape(T, G, q, F), q, up=True)
+    V4 = _cumsum_ax((Vpre if Vpre is not None else src * P).reshape(
+        T, G, q, F), q, up=True)
     if ga is None:
         ga = _take_row(P4, q - 1)
     if G == 1:
@@ -765,13 +789,30 @@ def _fwd_kernel(
     d_blk = delta.shape[-1]
     mm = _EXPAND_MODE == "mm"
 
+    q = _cumsum_q(delta.shape[-2])
+    if q and _FUSE and not mm:
+        # fused build x rescale: Z_n = du*B_n*exp(-s_n) and P_n = exp(s_n)
+        # built per-n inside the concats -- S, b, Pinv never materialize
+        # at expanded width (see _FUSE)
+        Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
+        trel = _group_rel_cumsum(delta, q)
+        Ps, Zs = [], []
+        for n in range(N):
+            s = jnp.clip(trel * At[:, n:n + 1, :], -_CLIP, _CLIP)
+            Ps.append(jnp.exp(s))
+            Zs.append(du * Bc[:, :, n:n + 1] * jnp.exp(-s))
+        P = jnp.concatenate(Ps, axis=-1)
+        x = _cumsum_scan(delta, At, None, q, h0, parts=(P, None),
+                         Zpre=jnp.concatenate(Zs, axis=-1))
+        h_carry[:, 0:1, :] = x[:, -1:, :]
+        _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D)
+        return
     if mm:
         b = _tile_d(du, N) * _expand_nvals(B_ref[:], d_blk)
     else:
         Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
         b = jnp.concatenate(
             [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
-    q = _cumsum_q(delta.shape[-2])
     if q:
         x = _cumsum_scan(delta, At, b, q, h0)
     else:
@@ -780,7 +821,11 @@ def _fwd_kernel(
         a_cum, x = _group_scan(a, b)           # (T, L_CHUNK, N*D_BLK)
         x = x + a_cum * h0                     # inject flat carry row
     h_carry[:, 0:1, :] = x[:, -1:, :]
+    _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D)
 
+
+def _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D):
+    """y = u*D + sum_n C_n * x_n, written to out_ref."""
     if has_D:
         y = u * D_ref[:]
     else:
@@ -891,6 +936,8 @@ def _bwd_kernel(
     At = At_ref[:]                             # (T, N, D_BLK)
     d_blk = delta.shape[-1]
     mm = _EXPAND_MODE == "mm"
+    q = _cumsum_q(delta.shape[-2])
+    fuse = _FUSE and q and not mm and not _ABLATE
 
     # recompute forward states within the chunk from the saved flat carry
     if mm:
@@ -903,7 +950,9 @@ def _bwd_kernel(
         dut_t = dy_t = None
         Bc = B_ref[:].astype(jnp.float32)
         Cc = C_ref[:].astype(jnp.float32)
-        if "build" in _ABLATE:
+        if fuse:
+            b = src = None                     # built pre-scaled below
+        elif "build" in _ABLATE:
             b = _tile_d(du_t, N)
             src = _tile_d(dy, N)
         else:
@@ -913,13 +962,32 @@ def _bwd_kernel(
                 [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     gc = g_carry[:]                            # carry from chunk to right
-    q = _cumsum_q(delta.shape[-2])
     if q:
-        parts = _rescaled_group_parts(delta, At, q)   # shared by both scans
+        Zpre = Vpre = None
+        if fuse:
+            # fused build x rescale (see _FUSE): per-n chains produce the
+            # pre-scaled scan operands and both rescale parts in one go --
+            # S, b, src never materialize at expanded width
+            trel = _group_rel_cumsum(delta, q)
+            Ps, Pinvs, Zs, Vs = [], [], [], []
+            for n in range(N):
+                s = jnp.clip(trel * At[:, n:n + 1, :], -_CLIP, _CLIP)
+                en = jnp.exp(s)
+                einv = jnp.exp(-s)
+                Ps.append(en)
+                Pinvs.append(einv)
+                Zs.append(du_t * Bc[:, :, n:n + 1] * einv)
+                Vs.append(Cc[:, :, n:n + 1] * dy * en)
+            parts = (jnp.concatenate(Ps, axis=-1),
+                     jnp.concatenate(Pinvs, axis=-1))
+            Zpre = jnp.concatenate(Zs, axis=-1)
+            Vpre = jnp.concatenate(Vs, axis=-1)
+        else:
+            parts = _rescaled_group_parts(delta, At, q)  # shared: both scans
         if "parts" in _ABLATE:
             parts = (jnp.ones_like(b), jnp.ones_like(b))
         # group decay products shared by the recompute and reverse scans
-        Tq, Lq, Fq = b.shape
+        Tq, Lq, Fq = parts[0].shape
         Gq = Lq // q
         P4s = parts[0].reshape(Tq, Gq, q, Fq)
         ga_sh = _take_row(P4s, q - 1)
@@ -929,14 +997,16 @@ def _bwd_kernel(
             prev_x = ga_sh
         else:
             x, W4, prev_x = _cumsum_scan(delta, At, b, q, h0_flat, parts,
-                                         return_parts=True, ga=ga_sh)
+                                         return_parts=True, ga=ga_sh,
+                                         Zpre=Zpre)
         # adjoint reverse scan: g_l = C_l*dy_l + a_{l+1} g_{l+1}
         if "rev" in _ABLATE:
             g = src
             G2 = src.reshape(Tq, Gq, q, Fq)
         else:
             g, G2 = _cumsum_scan_rev(delta, At, src, q, gc, parts,
-                                     return_parts=True, ga=ga_sh)
+                                     return_parts=True, ga=ga_sh,
+                                     Vpre=Vpre)
         # daa = g * a * x_prev with the group rescales cancelled
         # ALGEBRAICALLY: within a group a_l = P_l Pinv_{l-1},
         # x_{l-1} = P_{l-1} W_{l-1} and g_l = Pinv_l G2_l, so
