@@ -174,10 +174,21 @@ _NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
 # d_blk width per operand -- so the expanded S, b, src (and, forward-only,
 # Pinv) arrays are never materialized: ~3 fewer expanded-width VMEM
 # round-trips per scan at identical elementwise flop count (the per-element
-# exp/mul work just moves inside the concat operands). The kernel is
-# vector-ISSUE bound (PERF.md), so eliminating materialize+reload issue
-# slots is the remaining lever the pass-count algebra left.
-_FUSE = os.environ.get("FM_SCAN_FUSE", "0") == "1"
+# exp/mul work just moves inside the concat operands).
+# MEASURED (v5e, chained fwd+bwd, bf16 b24): a wash-to-loss on the long
+# stages (L=1024: +2.7%, L=256: 0 -- Mosaic already keeps those chains
+# fused and the extra per-n issue slots cost more than the saved arrays)
+# but a clear WIN on the short-chunk deep stages where fixed per-array
+# costs dominate (L=64: -6%, L=16: -15%). Default "auto" = fuse only when
+# the chunk is short (l_chunk <= 64); FM_SCAN_FUSE=1/0 forces it.
+_FUSE_MODE = os.environ.get("FM_SCAN_FUSE", "auto")
+_FUSE_LMAX = int(os.environ.get("FM_SCAN_FUSE_LMAX", 64))
+
+
+def _fuse_on(l_chunk: int) -> bool:
+    if _FUSE_MODE == "auto":
+        return l_chunk <= _FUSE_LMAX
+    return _FUSE_MODE == "1"
 
 # how the cumsum algorithms read one row per q-group (group-end decay
 # products / sums): "slice" = a strided sublane extract, "mask" = the
@@ -790,7 +801,7 @@ def _fwd_kernel(
     mm = _EXPAND_MODE == "mm"
 
     q = _cumsum_q(delta.shape[-2])
-    if q and _FUSE and not mm:
+    if q and _fuse_on(delta.shape[-2]) and not mm:
         # fused build x rescale: Z_n = du*B_n*exp(-s_n) and P_n = exp(s_n)
         # built per-n inside the concats -- S, b, Pinv never materialize
         # at expanded width (see _FUSE)
@@ -937,7 +948,7 @@ def _bwd_kernel(
     d_blk = delta.shape[-1]
     mm = _EXPAND_MODE == "mm"
     q = _cumsum_q(delta.shape[-2])
-    fuse = _FUSE and q and not mm and not _ABLATE
+    fuse = bool(q) and _fuse_on(delta.shape[-2]) and not mm and not _ABLATE
 
     # recompute forward states within the chunk from the saved flat carry
     if mm:
