@@ -158,10 +158,11 @@ _L_CAP = int(os.environ.get("FM_SCAN_LCAP", 256))
 _ABLATE = frozenset(
     f for f in os.environ.get("FM_SCAN_ABLATE", "").split(",") if f)
 
-# how the cumsum algorithms produce Pinv = exp(-clip(S)): "div" = 1/P
-# (one fp32 divide pass), "exp" = a second exp pass (measured on v5e --
-# see PERF.md; the two are bit-different only in the last ulp)
-_PINV_MODE = os.environ.get("FM_SCAN_PINV", "div")
+# how the cumsum algorithms produce Pinv = exp(-clip(S)): "exp" = a second
+# exp pass (DEFAULT -- measured -4.4% on the stage-1 chained fwd+bwd, the
+# fp32 divide is the single most expensive pass the ablation found),
+# "div" = 1/P; the two are bit-different only in the last ulp (PERF.md)
+_PINV_MODE = os.environ.get("FM_SCAN_PINV", "exp")
 
 # how the backward contracts gB = sum_n g_n*B_n / daaA = sum_n daa_n*A_n:
 # "loop" = per-n slice + fma accumulation, "mm" = F-wide multiply against
@@ -191,10 +192,11 @@ def _fuse_on(l_chunk: int) -> bool:
     return _FUSE_MODE == "1"
 
 # how the cumsum algorithms read one row per q-group (group-end decay
-# products / sums): "slice" = a strided sublane extract, "mask" = the
-# where+sum reduction it replaces (a ~log2(q) sublane-rotate tree per use
-# on the issue-bound VPU; kept selectable for lowering regressions)
-_ROWSEL_MODE = os.environ.get("FM_SCAN_ROWSEL", "mask")
+# products / sums): "slice" = a strided sublane extract (DEFAULT --
+# measured -3.6% on the stage-1 chained fwd+bwd), "mask" = the where+sum
+# reduction it replaces (a ~log2(q) sublane-rotate tree per use on the
+# issue-bound VPU; kept selectable for lowering regressions)
+_ROWSEL_MODE = os.environ.get("FM_SCAN_ROWSEL", "slice")
 
 
 def _take_row(x4: jax.Array, row: int) -> jax.Array:
