@@ -222,8 +222,15 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
 def make_seg_train_step(model, num_classes: int, mode: str = "segmentation",
                         fusion_weight: float = 1.0, seg_weight: float = 1.0,
                         class_weights=None, improved: bool = False,
-                        compute_dtype=jnp.float32):
-    """Seg / combined train step (train_segmentation.py:367-465)."""
+                        compute_dtype=jnp.float32, scan_guard: bool = False):
+    """Seg / combined train step (train_segmentation.py:367-465).
+
+    scan_guard mirrors `make_fusion_train_step`: a `scan_sat_margin`
+    metric so a long seg fine-tune drifting past the cumsum rescale clip
+    cannot saturate decay weights silently."""
+    import contextlib
+
+    from ..ops.scan_guard import collect_saturation_margins, reduce_margins
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=())
@@ -231,13 +238,16 @@ def make_seg_train_step(model, num_classes: int, mode: str = "segmentation",
         def loss_fn(params):
             variables = {"params": cast_compute(params, compute_dtype),
                          "batch_stats": state.batch_stats}
-            outs, updates = model.apply(
-                variables,
-                vis_y.astype(compute_dtype), ir.astype(compute_dtype),
-                deterministic=False,
-                return_fusion=(mode != "segmentation"),
-                return_segmentation=(mode != "fusion"),
-                rngs={"dropout": rng}, mutable=["batch_stats"])
+            guard_ctx = (collect_saturation_margins() if scan_guard
+                         else contextlib.nullcontext([]))
+            with guard_ctx as margins:
+                outs, updates = model.apply(
+                    variables,
+                    vis_y.astype(compute_dtype), ir.astype(compute_dtype),
+                    deterministic=False,
+                    return_fusion=(mode != "segmentation"),
+                    return_segmentation=(mode != "fusion"),
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
             total = 0.0
             metrics = {}
             if "fusion" in outs:
@@ -256,6 +266,8 @@ def make_seg_train_step(model, num_classes: int, mode: str = "segmentation",
                 total = total + seg_weight * s.total
                 metrics["seg_total"] = s.total
             metrics["total"] = total
+            if scan_guard:
+                metrics["scan_sat_margin"] = reduce_margins(margins)
             return total, (metrics, updates)
 
         (_, (metrics, updates)), grads = jax.value_and_grad(

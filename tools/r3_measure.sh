@@ -3,9 +3,9 @@
 # (1) the kernel-variant sweep (pinv, rowsel, nloop, VMEM budgets, d-cap),
 # (2) the end-to-end bench at defaults, (3) the device-op profile, and
 # (4) the 200-step training-trajectory evidence (VERDICT r2 item 8).
-# Results land in /tmp/r3/.
+# Results land in bench_artifacts/r3/ (in-repo, committable evidence).
 set -u
-OUT=/tmp/r3
+OUT="$(dirname "$0")/../bench_artifacts/r3"
 mkdir -p $OUT
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
@@ -29,11 +29,14 @@ run_bench() {  # name, n_stages, env...
       --dtype bf16 --batch 24 2>/dev/null | tee -a $OUT/sweep.log
 }
 
-# single-variable sweeps on the two hot stages + deep-stage budget sweeps
-run_bench baseline 4 FM_DUMMY=1
-run_bench pinv_exp 2 FM_SCAN_PINV=exp
-run_bench rowsel_slice 2 FM_SCAN_ROWSEL=slice
-run_bench nloop_mm 2 FM_SCAN_NLOOP=mm
+# single-variable sweeps on the two hot stages + deep-stage budget sweeps.
+# The r3 defaults flipped to PINV=exp/ROWSEL=slice after this sweep ran, so
+# every row now PINS its full operating point: "baseline" is the r2-default
+# comparison point the r3 table was measured against.
+run_bench baseline 4 FM_SCAN_PINV=div FM_SCAN_ROWSEL=mask
+run_bench pinv_exp 2 FM_SCAN_PINV=exp FM_SCAN_ROWSEL=mask
+run_bench rowsel_slice 2 FM_SCAN_PINV=div FM_SCAN_ROWSEL=slice
+run_bench nloop_mm 2 FM_SCAN_PINV=div FM_SCAN_ROWSEL=mask FM_SCAN_NLOOP=mm
 # T-tiling: budgets gate pairs-per-grid-cell; deep stages (L=64/16) run T=1
 # with tiny per-cell work under the shipped 256K/128K element budgets
 run_bench budget_1M_512K 4 FM_SCAN_FWD_BUDGET=1048576 FM_SCAN_BWD_BUDGET=524288

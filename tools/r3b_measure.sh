@@ -3,9 +3,9 @@
 # drain, then (1) compiled-TPU gate + sweep for the FM_SCAN_FUSE variant,
 # (2) VMEM-budget / d-cap / l-cap sweeps, (3) combined-winner run,
 # (4) verify-drive (test.py CLI), (5) bench at defaults, (6) profile,
-# (7) training-trajectory evidence. Results land in /tmp/r3/.
+# (7) training-trajectory evidence. Results land in bench_artifacts/r3/.
 set -u
-OUT=/tmp/r3
+OUT="$(dirname "$0")/../bench_artifacts/r3"
 mkdir -p $OUT
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 

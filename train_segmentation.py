@@ -45,6 +45,14 @@ def parse_args():
     ap.add_argument("--num_workers", "-j", type=int, default=8,
                     help="loader threads (cv2/PIL release the GIL); 0 = "
                          "synchronous in-loop loading")
+    ap.add_argument("--scan_guard", dest="scan_guard", action="store_true",
+                    default=True,
+                    help="monitor the scan's cumsum-rescale saturation "
+                         "margin every logged step (the library-default "
+                         "scan algorithm is exact only below margin 60; "
+                         "see ops/scan_guard.py). Costs ~1-2%% of a step")
+    ap.add_argument("--no_scan_guard", dest="scan_guard",
+                    action="store_false")
     return ap.parse_args()
 
 
@@ -146,7 +154,8 @@ def main():
         model, num_classes, mode=args.mode,
         fusion_weight=args.fusion_weight, seg_weight=args.seg_weight,
         class_weights=class_weights, improved=improved,
-        compute_dtype=resolve_compute_dtype(args.precision))
+        compute_dtype=resolve_compute_dtype(args.precision),
+        scan_guard=args.scan_guard)
 
     steps_per_epoch = len(train_ds) // batch_size
     max_iter = steps_per_epoch * args.epochs
@@ -176,6 +185,15 @@ def main():
                     f"epoch:{epoch} step:{step}/{max_iter} "
                     + " ".join(f"{k}:{float(v):.4f}"
                                for k, v in metrics.items()))
+                margin = float(metrics.get("scan_sat_margin", 0.0))
+                if margin >= 0.9 * 60.0:
+                    from fusionmamba_tpu.ops.scan_guard import SATURATION_CLIP
+                    sev = ("EXCEEDS" if margin >= SATURATION_CLIP
+                           else "is within 10% of")
+                    logger.warning(
+                        f"scan saturation margin {margin:.1f} {sev} the "
+                        f"cumsum rescale clip ({SATURATION_CLIP}); set "
+                        "FM_SCAN_ALGO=doubling (exact for any magnitude)")
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
         ckpt = os.path.join(os.path.abspath(args.ckpt_dir),
