@@ -28,11 +28,12 @@ class FusedLayerNorm(nn.Module):
     epsilon: float = 1e-6
 
     @nn.compact
-    def __call__(self, x, gate=None):
+    def __call__(self, x, gate=None, gate_act: str = "none"):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return layer_norm_fused(x, scale, bias, gate, eps=self.epsilon)
+        return layer_norm_fused(x, scale, bias, gate, eps=self.epsilon,
+                                gate_act=gate_act)
 
 
 class DropPath(nn.Module):

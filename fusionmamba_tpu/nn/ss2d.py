@@ -47,9 +47,10 @@ class DepthwiseConv2d(nn.Module):
     """Depthwise 3x3 SAME conv via the Pallas kernel (XLA's depthwise
     lowering is ~100x off VPU peak -- ops/dwconv_pallas.py). Parameter
     layout matches nn.Conv's HWIO (3, 3, 1, C) so checkpoints are
-    interchangeable."""
+    interchangeable. act="silu" fuses the SiLU epilogue into the kernel."""
     features: int
     use_bias: bool = True
+    act: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +58,7 @@ class DepthwiseConv2d(nn.Module):
                        (3, 3, 1, self.features))
         b = (self.param("bias", torch_conv_bias(9), (self.features,))
              if self.use_bias else None)
-        return depthwise_conv3x3(x, k[:, :, 0, :], b)
+        return depthwise_conv3x3(x, k[:, :, 0, :], b, act=self.act)
 
 
 class _SSMCore(nn.Module):
@@ -83,7 +84,9 @@ class _SSMCore(nn.Module):
                 if self.dt_rank is None else self.dt_rank)
 
     @nn.compact
-    def scan(self, x, gate=None):  # x: (B, H, W, d_inner)
+    def scan(self, x, gate=None, gate_act: str = "none"):
+        # x: (B, H, W, d_inner); gate RAW (pre-activation) when gate_act
+        # != "none" -- the activation runs inside the fused LN kernel
         B, H, W, D = x.shape
         N = self.d_state
         R = self.rank
@@ -102,28 +105,34 @@ class _SSMCore(nn.Module):
         fullres = self.scan_variant == "fullres"
         xs = cross_scan(x) if fullres else efficient_scan(x)  # (B, 4, L, D)
         x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
-        dts = x_dbl[..., :R]
+        dts_low = x_dbl[..., :R]               # (B, 4, L, R) low-rank dt
         Bs = x_dbl[..., R:R + N]
         Cs = x_dbl[..., R + N:]
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
 
         # activations keep their dtype (bf16 under mixed precision -- every
         # scan impl converts to fp32 INTERNALLY, matching the reference's
         # fp32-in-kernel policy `models/cross.py:239-245`, and the Pallas
         # kernel does the convert in VMEM so bf16 halves its HBM traffic);
-        # parameters A/D/bias always enter fp32
+        # parameters A/D/bias always enter fp32.
+        # dt stays LOW-RANK here: the dt_projs expansion to (B, 4, L, D)
+        # runs inside the scan kernel on the MXU (prologue fusion -- the
+        # expanded dt never exists in HBM; `models/cross.py:305-310`
+        # semantics, MambaInnerFn fusion scope).
         As = -jnp.exp(A_logs.astype(jnp.float32))
         ys = selective_scan(
-            xs, dts, As, Bs, Cs,
+            xs, dts_low, As, Bs, Cs,
             Ds.astype(jnp.float32), dt_projs_bias.astype(jnp.float32),
-            delta_softplus=True, impl=self.scan_impl)  # (B, 4, L, D)
+            delta_softplus=True, impl=self.scan_impl,
+            dt_lowrank_weight=dt_projs_weight)  # (B, 4, L, D)
 
         y = (cross_merge(ys, H, W) if fullres
              else efficient_merge(ys, H, W))         # (B, H, W, D)
-        # fused LN + the callers' `y * z` gate in one Pallas pass
-        # (`models/cross.py:334-335` then `:742` / `:1225-1229`);
+        # fused LN + the callers' `y * z` gate (incl. the gate's silu
+        # activation) in one Pallas pass (`models/cross.py:334-335` then
+        # `:731,742` / `:1207-1209,1225-1229`);
         # eps 1e-5 = torch nn.LayerNorm default (`models/cross.py:472,945`)
-        y = FusedLayerNorm(epsilon=1e-5, name="out_norm")(y, gate=gate)
+        y = FusedLayerNorm(epsilon=1e-5, name="out_norm")(
+            y, gate=gate, gate_act=gate_act)
         return y.astype(x.dtype)
 
 
@@ -140,11 +149,12 @@ class SS2D(_SSMCore):
         xz = nn.Dense(2 * d_exp, use_bias=self.proj_bias,
                       kernel_init=trunc_normal(0.02), name="in_proj")(x)
         xpart, z = jnp.split(xz, 2, axis=-1)
-        z = jax.nn.silu(z)
+        # z stays RAW: its silu runs inside the fused out_norm gate
+        # (`models/cross.py:731` z = silu(z); `:742` y * z); the conv's
+        # SiLU rides the conv kernel's epilogue
         xpart = DepthwiseConv2d(d_exp, use_bias=self.conv_bias,
-                                name="conv2d")(xpart)
-        xpart = jax.nn.silu(xpart)
-        y = self.scan(xpart, gate=z)
+                                act="silu", name="conv2d")(xpart)
+        y = self.scan(xpart, gate=z, gate_act="silu")
         out = nn.Dense(self.d_model, use_bias=self.proj_bias,
                        kernel_init=trunc_normal(0.02), name="out_proj")(y)
         if self.dropout > 0.0:
@@ -169,18 +179,18 @@ class SS2DCross(_SSMCore):
         x1p, z1 = jnp.split(xz1, 2, axis=-1)
         x2p, _z2_unused = jnp.split(xz2, 2, axis=-1)
         # reference quirk (`models/cross.py:1207-1209`): z1 = act(z1), then
-        # z2 = act(z1) reads the already-activated z1
-        z1 = jax.nn.silu(z1)
-        z2 = jax.nn.silu(z1)
+        # z2 = act(z1) reads the already-activated z1. The whole dual gate
+        # y*z1 + y*z2 = y*(silu(raw) + silu(silu(raw))) runs inside the
+        # fused LN ("silu_sum") from the RAW z1.
 
         conv = DepthwiseConv2d(d_exp, use_bias=self.conv_bias,
+                               act="silu",
                                name="conv2d")  # shared (`:1212-1213`)
-        x1p = jax.nn.silu(conv(x1p))
-        x2p = jax.nn.silu(conv(x2p))
+        x1p = conv(x1p)
+        x2p = conv(x2p)
 
         fused = x1p * x2p + x1p + x2p  # pre-scan fusion (`:372`)
-        # y*z1 + y*z2 == y*(z1+z2): fold the dual gate into the fused LN
-        y = self.scan(fused, gate=z1 + z2)
+        y = self.scan(fused, gate=z1, gate_act="silu_sum")
         out = nn.Dense(self.d_model, use_bias=self.proj_bias,
                        kernel_init=trunc_normal(0.02), name="out_proj")(y)
         if self.dropout > 0.0:

@@ -58,35 +58,45 @@ def _shift2d(x: jax.Array, di: int, dj: int) -> jax.Array:
     return x
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, has_bias: bool):
-    # I/O may be bf16 (HBM-traffic halved); accumulate fp32 on the VPU
-    x = x_ref[:].astype(jnp.float32)        # (T, H, W, C_BLK)
-    w = w_ref[:]                    # (1, 9, 1, C_BLK)
+def _conv9(x, w):
+    """The nine shifted multiply-adds: x (T, H, W, C_BLK), w (1, 9, 1, C)."""
     acc = jnp.zeros_like(x)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             tap = w[:, (di + 1) * 3 + (dj + 1)]     # (1, 1, C_BLK)
             acc = acc + _shift2d(x, di, dj) * tap[:, None]
+    return acc
+
+
+def _dsilu(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, has_bias: bool, act: str):
+    # I/O may be bf16 (HBM-traffic halved); accumulate fp32 on the VPU
+    x = x_ref[:].astype(jnp.float32)        # (T, H, W, C_BLK)
+    acc = _conv9(x, w_ref[:])
     if has_bias:
         acc = acc + b_ref[:]
+    if act == "silu":
+        # epilogue activation (`models/cross.py:731,1214-1215` conv+SiLU):
+        # written pre-activated, so no standalone XLA silu pass and no raw
+        # conv output residual in HBM (the backward recomputes it)
+        acc = jax.nn.silu(acc)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _bwd_dx_kernel(w_ref, dy_ref, dx_ref):
-    dy = dy_ref[:].astype(jnp.float32)
-    w = w_ref[:]
-    dx = jnp.zeros_like(dy)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            tap = w[:, (di + 1) * 3 + (dj + 1)]
-            # y[h] += x[h+di]*w  =>  dx[h+di] += dy[h]*w: shift dy by -di,-dj
-            dx = dx + _shift2d(dy, -di, -dj) * tap[:, None]
-    dx_ref[:] = dx.astype(dx_ref.dtype)
+def _bwd_kernel(x_ref, w_ref, b_ref, dy_ref, dx_ref, dw_ref, db_ref,
+                *, has_bias: bool, act: str):
+    """Merged backward: dx + dw + db in ONE pass over (x, w, dy) -- the
+    previous two-kernel split read dy twice and launched twice. With
+    act="silu" the raw conv output is recomputed here (9 fma passes)
+    instead of living in HBM as a residual, and the silu chain rule is
+    applied before the gradient taps.
 
-
-def _bwd_dw_kernel(x_ref, dy_ref, dw_ref, db_ref):
-    # grid is (C-blocks, B-tiles) with B innermost so the dw/db accumulator
-    # blocks are revisited consecutively
+    Grid is (C-blocks, B-tiles) with B innermost so the dw/db accumulator
+    blocks are revisited consecutively."""
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
@@ -95,12 +105,23 @@ def _bwd_dw_kernel(x_ref, dy_ref, dw_ref, db_ref):
         db_ref[:] = jnp.zeros_like(db_ref)
 
     x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:]
     dy = dy_ref[:].astype(jnp.float32)
+    if act == "silu":
+        raw = _conv9(x, w)
+        if has_bias:
+            raw = raw + b_ref[:]
+        dy = dy * _dsilu(raw)
+    dx = jnp.zeros_like(dy)
     dws = []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
+            tap = w[:, (di + 1) * 3 + (dj + 1)]
+            # y[h] += x[h+di]*w  =>  dx[h+di] += dy[h]*w: shift dy by -di,-dj
+            dx = dx + _shift2d(dy, -di, -dj) * tap[:, None]
             dws.append(jnp.sum(_shift2d(x, di, dj) * dy, axis=(0, 1, 2),
                                keepdims=True)[:, :, 0, :])
+    dx_ref[:] = dx.astype(dx_ref.dtype)
     dw_ref[:] += jnp.concatenate(dws, axis=1)   # (1, 9, C_BLK)
     db_ref[:] += jnp.sum(dy, axis=(0, 1, 2), keepdims=True)[:, :, 0, :]
 
@@ -120,14 +141,14 @@ def _pick(B: int, H: int, W: int, C: int):
     return t, c_blk
 
 
-def _fwd_pallas(x, w9, bias, interpret):
+def _fwd_pallas(x, w9, bias, act, interpret):
     B, H, W, C = x.shape
     T, c_blk = _pick(B, H, W, C)
     grid = (C // c_blk, B // T)
     has_bias = bias is not None
     zeros = jnp.zeros((1, 1, 1, C), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, has_bias=has_bias),
+        functools.partial(_fwd_kernel, has_bias=has_bias, act=act),
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, H, W, c_blk), lambda c, b: (b, 0, 0, c),
@@ -147,48 +168,45 @@ def _fwd_pallas(x, w9, bias, interpret):
     return out
 
 
-def _bwd_pallas(x, w9, dy, interpret):
+def _bwd_pallas(x, w9, bias, dy, act, interpret):
     B, H, W, C = x.shape
     T, c_blk = _pick(B, H, W, C)
     grid = (C // c_blk, B // T)
+    has_bias = bias is not None
     blk = pl.BlockSpec((T, H, W, c_blk), lambda c, b: (b, 0, 0, c),
                        memory_space=pltpu.VMEM)
-    dx = pl.pallas_call(
-        _bwd_dx_kernel,
+    zeros = jnp.zeros((1, 1, 1, C), jnp.float32)
+    dx, dw_p, db_p = pl.pallas_call(
+        functools.partial(_bwd_kernel, has_bias=has_bias, act=act),
         grid=grid,
         in_specs=[
+            blk,
             pl.BlockSpec((1, 9, 1, c_blk), lambda c, b: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c_blk), lambda c, b: (0, 0, 0, c),
                          memory_space=pltpu.VMEM),
             blk,
         ],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dy.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(w9, dy)
-    dw_p, db_p = pl.pallas_call(
-        _bwd_dw_kernel,
-        grid=grid,
-        in_specs=[blk, blk],
         out_specs=(
+            blk,
             pl.BlockSpec((1, 9, c_blk), lambda c, b: (0, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c_blk), lambda c, b: (0, 0, c),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), dy.dtype),
             jax.ShapeDtypeStruct((1, 9, C), jnp.float32),
             jax.ShapeDtypeStruct((1, 1, C), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, dy)
+    )(x, w9, bias if has_bias else zeros, dy)
     return dx, dw_p[0], db_p[0, 0]
 
 
-def _xla_dwconv(x, w, bias):
+def _xla_dwconv(x, w, bias, act="none"):
     k = w[:, :, None, :]  # (3, 3, 1, C)
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
@@ -196,24 +214,27 @@ def _xla_dwconv(x, w, bias):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         out = out + bias
+    if act == "silu":
+        out = jax.nn.silu(out)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _dw_core(x, w9, bias, interpret):
-    return _fwd_pallas(x, w9, bias, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _dw_core(x, w9, bias, act, interpret):
+    return _fwd_pallas(x, w9, bias, act, interpret)
 
 
-def _dw_fwd(x, w9, bias, interpret):
-    return _fwd_pallas(x, w9, bias, interpret), (x, w9, bias is not None)
+def _dw_fwd(x, w9, bias, act, interpret):
+    return (_fwd_pallas(x, w9, bias, act, interpret),
+            (x, w9, bias))
 
 
-def _dw_bwd(interpret, res, dy):
-    x, w9, has_bias = res
-    dx, dw9, db = _bwd_pallas(x, w9, dy, interpret)
+def _dw_bwd(act, interpret, res, dy):
+    x, w9, bias = res
+    dx, dw9, db = _bwd_pallas(x, w9, bias, dy, act, interpret)
     C = dw9.shape[-1]
     return (dx, dw9.reshape(1, 9, 1, C),
-            db.reshape(1, 1, 1, C) if has_bias else None)
+            db.reshape(1, 1, 1, C) if bias is not None else None)
 
 
 _dw_core.defvjp(_dw_fwd, _dw_bwd)
@@ -222,8 +243,16 @@ _dw_core.defvjp(_dw_fwd, _dw_bwd)
 def depthwise_conv3x3(x: jax.Array, w: jax.Array,
                       bias: jax.Array | None = None,
                       impl: str = "auto",
-                      interpret: bool = False) -> jax.Array:
-    """x (B, H, W, C); w (3, 3, C); bias (C,) or None. SAME padding."""
+                      interpret: bool = False,
+                      act: str = "none") -> jax.Array:
+    """x (B, H, W, C); w (3, 3, C); bias (C,) or None. SAME padding.
+
+    act="silu" fuses the conv's SiLU epilogue into the kernel
+    (`models/cross.py:731,1214-1215`): the activation costs no extra HBM
+    pass and the raw conv output never becomes a backward residual (the
+    merged backward kernel recomputes it from x in VMEM)."""
+    if act not in ("none", "silu"):
+        raise ValueError(f"unknown act {act!r}")
     B, H, W, C = x.shape
 
     def _pallas_path():
@@ -236,20 +265,20 @@ def depthwise_conv3x3(x: jax.Array, w: jax.Array,
             x, w9,
             None if bias is None else bias.reshape(1, 1, 1, C).astype(
                 jnp.float32),
-            interpret)
+            act, interpret)
         return out.astype(in_dtype)
 
     if impl == "auto":
         if interpret:
             return _pallas_path()
         if H * W * C > _MAX_SPATIAL_ELEMS:
-            return _xla_dwconv(x, w, bias)
+            return _xla_dwconv(x, w, bias, act)
         # decide per lowering platform: under the axon tunnel the default
         # backend is always 'tpu' even for programs lowered onto a virtual
         # CPU mesh (multichip dryrun), where Pallas cannot lower
         return jax.lax.platform_dependent(
             tpu=_pallas_path,
-            default=lambda: _xla_dwconv(x, w, bias))
+            default=lambda: _xla_dwconv(x, w, bias, act))
     if impl == "xla":
-        return _xla_dwconv(x, w, bias)
+        return _xla_dwconv(x, w, bias, act)
     return _pallas_path()

@@ -43,26 +43,64 @@ def _stats(x, eps):
     return mu, jax.lax.rsqrt(var + eps)
 
 
-def _ln_fwd_kernel(x_ref, s_ref, b_ref, g_ref, o_ref, *, eps, has_gate):
+def _gate_value(g_raw, gate_act):
+    """Activated gate value from the RAW gate input.
+
+    "none"     -- caller pre-activated (legacy behavior).
+    "silu"     -- SS2D's y * silu(z) gate (`models/cross.py:731,742`): the
+                  silu runs here instead of as its own XLA pass over the
+                  full (B, H, W, d_inner) activation.
+    "silu_sum" -- SS2DCross's dual gate y*z1 + y*z2 with z1 = silu(raw),
+                  z2 = silu(z1) (the reference's z2-reads-activated-z1
+                  quirk, `models/cross.py:1207-1209,1225-1229`), folded as
+                  y * (z1 + z2).
+    """
+    if gate_act == "silu":
+        return jax.nn.silu(g_raw)
+    if gate_act == "silu_sum":
+        s1 = jax.nn.silu(g_raw)
+        return s1 + jax.nn.silu(s1)
+    return g_raw
+
+
+def _gate_grad(g_raw, gate_act):
+    """d(activated gate)/d(raw gate)."""
+    def dsilu(x):
+        s = jax.nn.sigmoid(x)
+        return s * (1.0 + x * (1.0 - s))
+    if gate_act == "silu":
+        return dsilu(g_raw)
+    if gate_act == "silu_sum":
+        s1 = jax.nn.silu(g_raw)
+        return (1.0 + dsilu(s1)) * dsilu(g_raw)
+    return jnp.ones_like(g_raw)
+
+
+def _ln_fwd_kernel(x_ref, s_ref, b_ref, g_ref, o_ref, *, eps, has_gate,
+                   gate_act):
     x = x_ref[:].astype(jnp.float32)          # (R_BLK, C)
     mu, rs = _stats(x, eps)
     y = (x - mu) * rs * s_ref[:] + b_ref[:]
     if has_gate:
-        y = y * g_ref[:].astype(jnp.float32)
+        y = y * _gate_value(g_ref[:].astype(jnp.float32), gate_act)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 def _ln_bwd_kernel(x_ref, s_ref, b_ref, g_ref, dy_ref,
                    dx_ref, dg_ref, ds_ref, db_ref,
-                   *, eps, has_gate):
+                   *, eps, has_gate, gate_act):
     x = x_ref[:].astype(jnp.float32)
     dy = dy_ref[:].astype(jnp.float32)
     scale = s_ref[:]
     mu, rs = _stats(x, eps)
     xhat = (x - mu) * rs
     if has_gate:
-        g = g_ref[:].astype(jnp.float32)
-        dg_ref[:] = (dy * (xhat * scale + b_ref[:])).astype(dg_ref.dtype)
+        g_raw = g_ref[:].astype(jnp.float32)
+        g = _gate_value(g_raw, gate_act)
+        dg = dy * (xhat * scale + b_ref[:])
+        if gate_act != "none":
+            dg = dg * _gate_grad(g_raw, gate_act)
+        dg_ref[:] = dg.astype(dg_ref.dtype)
         dy = dy * g
     else:
         dg_ref[:] = jnp.zeros_like(dg_ref)
@@ -76,7 +114,7 @@ def _ln_bwd_kernel(x_ref, s_ref, b_ref, g_ref, dy_ref,
     dx_ref[:] = (rs * (w - m1 - xhat * m2)).astype(dx_ref.dtype)
 
 
-def _fwd_pallas(x2, scale, bias, gate2, eps, interpret):
+def _fwd_pallas(x2, scale, bias, gate2, eps, gate_act, interpret):
     rows, C = x2.shape
     r_blk = _pick_rows(rows, C)
     grid = (rows // r_blk,)
@@ -87,7 +125,8 @@ def _fwd_pallas(x2, scale, bias, gate2, eps, interpret):
                             memory_space=pltpu.VMEM)
     zeros = jnp.zeros((1, C), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_ln_fwd_kernel, eps=eps, has_gate=has_gate),
+        functools.partial(_ln_fwd_kernel, eps=eps, has_gate=has_gate,
+                          gate_act=gate_act),
         grid=grid,
         in_specs=[row_spec, par_spec, par_spec,
                   row_spec if has_gate else par_spec],
@@ -101,7 +140,7 @@ def _fwd_pallas(x2, scale, bias, gate2, eps, interpret):
       gate2 if has_gate else zeros)
 
 
-def _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret):
+def _bwd_pallas(x2, scale, bias, gate2, dy2, eps, gate_act, interpret):
     rows, C = x2.shape
     r_blk = _pick_rows(rows, C)
     grid = (rows // r_blk,)
@@ -114,7 +153,8 @@ def _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret):
                              memory_space=pltpu.VMEM)
     zeros = jnp.zeros((1, C), jnp.float32)
     dx, dg, ds_p, db_p = pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, eps=eps, has_gate=has_gate),
+        functools.partial(_ln_bwd_kernel, eps=eps, has_gate=has_gate,
+                          gate_act=gate_act),
         grid=grid,
         in_specs=[row_spec, par_spec, par_spec,
                   row_spec if has_gate else par_spec, row_spec],
@@ -136,28 +176,29 @@ def _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret):
     return dx, (dg if has_gate else None), ds_p.sum((0, 1)), db_p.sum((0, 1))
 
 
-def _ln_ref(x, scale, bias, gate, eps):
+def _ln_ref(x, scale, bias, gate, eps, gate_act="none"):
     xf = x.astype(jnp.float32)
     mu, rs = _stats(xf, eps)
     y = (xf - mu) * rs * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if gate is not None:
-        y = y * gate.astype(jnp.float32)
+        y = y * _gate_value(gate.astype(jnp.float32), gate_act)
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ln_core(x2, scale, bias, gate2, eps, interpret):
-    return _fwd_pallas(x2, scale, bias, gate2, eps, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ln_core(x2, scale, bias, gate2, eps, gate_act, interpret):
+    return _fwd_pallas(x2, scale, bias, gate2, eps, gate_act, interpret)
 
 
-def _ln_core_fwd(x2, scale, bias, gate2, eps, interpret):
-    out = _fwd_pallas(x2, scale, bias, gate2, eps, interpret)
+def _ln_core_fwd(x2, scale, bias, gate2, eps, gate_act, interpret):
+    out = _fwd_pallas(x2, scale, bias, gate2, eps, gate_act, interpret)
     return out, (x2, scale, bias, gate2)
 
 
-def _ln_core_bwd(eps, interpret, res, dy2):
+def _ln_core_bwd(eps, gate_act, interpret, res, dy2):
     x2, scale, bias, gate2 = res
-    dx, dg, ds, db = _bwd_pallas(x2, scale, bias, gate2, dy2, eps, interpret)
+    dx, dg, ds, db = _bwd_pallas(x2, scale, bias, gate2, dy2, eps, gate_act,
+                                 interpret)
     # cotangent dtypes MUST equal the primal dtypes: under mixed precision
     # scale/bias arrive bf16 and the XLA-fallback branch of
     # layer_norm_fused's platform_dependent produces bf16 param grads (the
@@ -174,12 +215,18 @@ _ln_core.defvjp(_ln_core_fwd, _ln_core_bwd)
 
 def layer_norm_fused(x: jax.Array, scale: jax.Array, bias: jax.Array,
                      gate: jax.Array | None = None, eps: float = 1e-6,
-                     impl: str = "auto", interpret: bool = False):
+                     impl: str = "auto", interpret: bool = False,
+                     gate_act: str = "none"):
     """LayerNorm over the last axis (+ optional elementwise gate multiply).
 
     x (..., C); scale/bias (C,); gate broadcastable to x or None.
     Matches flax.linen.LayerNorm numerics (fp32 fast-variance stats).
+    gate_act: "none" | "silu" | "silu_sum" -- activation applied to the RAW
+    gate inside the kernel (see _gate_value), replacing what would
+    otherwise be a standalone full-width XLA elementwise pass.
     """
+    if gate_act not in ("none", "silu", "silu_sum"):
+        raise ValueError(f"unknown gate_act {gate_act!r}")
     C = x.shape[-1]
     rows = x.size // C
     x2 = x.reshape(rows, C)
@@ -189,18 +236,18 @@ def layer_norm_fused(x: jax.Array, scale: jax.Array, bias: jax.Array,
             x.dtype)
 
     def _pallas_path():
-        return _ln_core(x2, scale, bias, gate2, eps, interpret).reshape(
-            x.shape)
+        return _ln_core(x2, scale, bias, gate2, eps, gate_act,
+                        interpret).reshape(x.shape)
 
     if impl == "xla":
-        return _ln_ref(x, scale, bias, gate, eps)
+        return _ln_ref(x, scale, bias, gate, eps, gate_act)
     if impl == "pallas" or interpret:
         return _pallas_path()
     if rows % 8 != 0:
-        return _ln_ref(x, scale, bias, gate, eps)
+        return _ln_ref(x, scale, bias, gate, eps, gate_act)
     # under the axon tunnel the default backend is 'tpu' even for programs
     # lowered onto the virtual CPU mesh (multichip dryrun), where Pallas
     # cannot lower -- decide per lowering platform like dwconv_pallas
     return jax.lax.platform_dependent(
         tpu=_pallas_path,
-        default=lambda: _ln_ref(x, scale, bias, gate, eps))
+        default=lambda: _ln_ref(x, scale, bias, gate, eps, gate_act))

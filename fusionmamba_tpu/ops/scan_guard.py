@@ -43,6 +43,13 @@ def collect_saturation_margins():
         _ACTIVE = prev
 
 
+def is_collecting() -> bool:
+    """True while a collect_saturation_margins() context is active (lets
+    callers skip building the margin's inputs -- e.g. materializing a
+    low-rank dt -- when nobody is listening)."""
+    return _ACTIVE is not None
+
+
 def maybe_record(delta, A, delta_bias, delta_softplus) -> None:
     """Called by `selective_scan` on its raw inputs; no-op (and no traced
     ops) unless a collector is active."""
@@ -61,6 +68,7 @@ def reduce_margins(margins: List[jax.Array]) -> jax.Array:
 __all__ = [
     "SATURATION_CLIP",
     "collect_saturation_margins",
+    "is_collecting",
     "maybe_record",
     "reduce_margins",
     "saturation_margin",

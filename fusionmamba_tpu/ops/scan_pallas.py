@@ -35,6 +35,12 @@ Public layouts (channels-last):
     Bmat/Cmat: (B, K, L, N)
     D, delta_bias : (K, D)
 All math float32.
+
+Scope note: A (and all weights) are REAL-valued only. The reference CUDA
+extension also compiles complex64-weight variants
+(`selective_scan/selective_scan_bwd_fp32_complex.cu`, dispatch in
+`selective_scan.cpp`), but no reference model config instantiates them; the
+complex-A capability is intentionally out of scope here (see PARITY.md row 1).
 """
 from __future__ import annotations
 
@@ -161,7 +167,9 @@ _ABLATE = frozenset(
 # how the cumsum algorithms produce Pinv = exp(-clip(S)): "exp" = a second
 # exp pass (DEFAULT -- measured -4.4% on the stage-1 chained fwd+bwd, the
 # fp32 divide is the single most expensive pass the ablation found),
-# "div" = 1/P; the two are bit-different only in the last ulp (PERF.md)
+# "div" = 1/P; the two are bit-different only in the last ulp (PERF.md).
+# NOTE: the FM_SCAN_FUSE fused builds compute exp(-s) per-n directly and
+# therefore always behave as "exp" regardless of this knob.
 _PINV_MODE = os.environ.get("FM_SCAN_PINV", "exp")
 
 # how the backward contracts gB = sum_n g_n*B_n / daaA = sum_n daa_n*A_n:
@@ -184,6 +192,9 @@ _NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
 # the chunk is short (l_chunk <= 64); FM_SCAN_FUSE=1/0 forces it.
 _FUSE_MODE = os.environ.get("FM_SCAN_FUSE", "auto")
 _FUSE_LMAX = int(os.environ.get("FM_SCAN_FUSE_LMAX", 64))
+if _FUSE_MODE not in ("auto", "0", "1"):
+    raise ValueError(
+        f"FM_SCAN_FUSE must be 'auto', '0' or '1', got {_FUSE_MODE!r}")
 
 
 def _fuse_on(l_chunk: int) -> bool:
@@ -772,11 +783,36 @@ def _doubling_scan_rev(a_next: jax.Array, b: jax.Array):
 # Forward kernel
 # ----------------------------------------------------------------------------
 
+def _delta_raw_from_refs(dt_ref, Wt_ref, lowrank: bool) -> jax.Array:
+    """(T, L_CHUNK, D_BLK) raw dt (pre-bias/softplus), fp32.
+
+    lowrank=True is the MambaInnerFn-scope prologue fusion
+    (`selective_scan_interface.py:161-358`): dt_ref holds the LOW-RANK
+    (T, L_CHUNK, R) dt_proj input and Wt_ref the (T, R, D_BLK) slice of the
+    dt projection; the expansion to D runs here on the MXU, so the full
+    (B, K, L, D) dt tensor never exists in HBM. The dot overlaps the
+    kernel's VPU passes; fp32 accumulation."""
+    if not lowrank:
+        return dt_ref[:].astype(jnp.float32)
+    dtr = dt_ref[:]                            # (T, L_CHUNK, R)
+    Wt = Wt_ref[:]                             # (T, R, D_BLK)
+    if dtr.dtype != Wt.dtype:                  # dot needs matching dtypes
+        dtr = dtr.astype(jnp.float32)
+        Wt = Wt.astype(jnp.float32)
+    # bf16 inputs take one MXU pass with fp32 accumulation -- numerically
+    # identical to the XLA einsum this fusion replaces (bf16 operands under
+    # mixed precision); fp32 inputs follow the default f32 dot
+    return jnp.stack([
+        jax.lax.dot(dtr[t], Wt[t], preferred_element_type=jnp.float32)
+        for t in range(dtr.shape[0])])
+
+
 def _fwd_kernel(
-    u_ref, dt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref,
+    u_ref, dt_ref, Wt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref,
     out_ref, hsave_ref,
     h_carry,
     *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
+    lowrank: bool,
 ):
     l_idx = pl.program_id(2)
 
@@ -786,7 +822,7 @@ def _fwd_kernel(
 
     # I/O may be bf16; all math is fp32 (converts are VPU-local, free of
     # HBM cost -- the blocks are already resident in VMEM)
-    delta = dt_ref[:].astype(jnp.float32)      # (T, L_CHUNK, D_BLK)
+    delta = _delta_raw_from_refs(dt_ref, Wt_ref, lowrank)
     if has_bias:
         delta = delta + bias_ref[:]            # (T, 1, D_BLK)
     if delta_softplus:
@@ -803,7 +839,9 @@ def _fwd_kernel(
     mm = _EXPAND_MODE == "mm"
 
     q = _cumsum_q(delta.shape[-2])
-    if q and _fuse_on(delta.shape[-2]) and not mm:
+    # `not _ABLATE` mirrors the backward's gate: with ablation flags set the
+    # fused path would dodge the stubbed stages and skew the measurement
+    if q and _fuse_on(delta.shape[-2]) and not mm and not _ABLATE:
         # fused build x rescale: Z_n = du*B_n*exp(-s_n) and P_n = exp(s_n)
         # built per-n inside the concats -- S, b, Pinv never materialize
         # at expanded width (see _FUSE)
@@ -853,23 +891,39 @@ def _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
-                cfg, interpret):
+def _fwd_pallas(u, delta, Wt_bk, At_bk, Bmat, Cmat, Dp_bk, bias_bk,
+                delta_softplus, cfg, interpret):
     """Inputs in BK-folded layouts: u/delta (BK, L, D), At_bk (BK, N, D),
-    B/C (BK, L, N), Dp_bk/bias_bk (BK, 1, D)."""
+    B/C (BK, L, N), Dp_bk/bias_bk (BK, 1, D).
+
+    Lowrank mode (Wt_bk not None): delta is the LOW-RANK (BK, L, R) dt and
+    Wt_bk its (BK, R, D) projection; the kernel expands it on the MXU."""
     BK, L, dim = u.shape
     N = At_bk.shape[1]
     T = cfg.t_fwd
     flat = N * cfg.d_blk
+    lowrank = Wt_bk is not None
+    R = delta.shape[-1] if lowrank else None
 
     grid = (BK // T, cfg.n_dblk, cfg.n_lchunk)
 
     def _xld(bk, d, l):
         return (bk, l, d)
 
+    dt_spec = (pl.BlockSpec((T, cfg.l_chunk, R),
+                            lambda bk, d, l: (bk, l, 0),
+                            memory_space=pltpu.VMEM) if lowrank else
+               pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld,
+                            memory_space=pltpu.VMEM))
+    wt_spec = (pl.BlockSpec((T, R, cfg.d_blk),
+                            lambda bk, d, l: (bk, 0, d),
+                            memory_space=pltpu.VMEM) if lowrank else
+               pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
+                            memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        dt_spec,
+        wt_spec,
         pl.BlockSpec((T, N, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, l, 0),
@@ -896,6 +950,7 @@ def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
     kernel = functools.partial(
         _fwd_kernel, N=N, delta_softplus=delta_softplus,
         has_D=Dp_bk is not None, has_bias=bias_bk is not None,
+        lowrank=lowrank,
     )
     zeros = jnp.zeros((BK, 1, dim), jnp.float32)
     out, hsave = pl.pallas_call(
@@ -908,7 +963,9 @@ def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u, delta, At_bk,
+    )(u, delta,
+      Wt_bk if lowrank else zeros,
+      At_bk,
       Bmat, Cmat,
       Dp_bk if Dp_bk is not None else zeros,
       bias_bk if bias_bk is not None else zeros)
@@ -920,10 +977,12 @@ def _fwd_pallas(u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, delta_softplus,
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(
-    u_ref, dt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref, hsave_ref, dy_ref,
-    du_ref, ddt_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
+    u_ref, dt_ref, Wt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref,
+    hsave_ref, dy_ref,
+    du_ref, ddt_ref, dW_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
     g_carry,
     *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
+    lowrank: bool,
 ):
     l_idx = pl.program_id(2)
     is_first_step = l_idx == 0  # maps to the LAST chunk (grid runs L reversed)
@@ -934,8 +993,10 @@ def _bwd_kernel(
         dA_ref[:] = jnp.zeros_like(dA_ref)
         dD_ref[:] = jnp.zeros_like(dD_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        if lowrank:
+            dW_ref[:] = jnp.zeros_like(dW_ref)
 
-    delta_raw = dt_ref[:].astype(jnp.float32)  # (T, L_CHUNK, D_BLK)
+    delta_raw = _delta_raw_from_refs(dt_ref, Wt_ref, lowrank)
     if has_bias:
         delta_raw = delta_raw + bias_ref[:]
     if delta_softplus:
@@ -1147,17 +1208,38 @@ def _bwd_kernel(
     if has_bias:
         dbias_ref[:] += jnp.sum(ddelta, axis=1, keepdims=True)
     du_ref[:] = du_acc.astype(du_ref.dtype)
-    ddt_ref[:] = ddelta.astype(ddt_ref.dtype)
+    if lowrank:
+        # chain ddelta back through the in-kernel dt expansion: the full
+        # (B, K, L, D) ddelta never reaches HBM -- only the low-rank
+        # d_dtr per-d-block partials and the dW accumulator do
+        Wt = Wt_ref[:].astype(jnp.float32)     # (T, R, D_BLK)
+        dtr = dt_ref[:].astype(jnp.float32)    # (T, L_CHUNK, R)
+        ddtr = jnp.stack([
+            jax.lax.dot_general(
+                ddelta[t], Wt[t], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for t in range(ddelta.shape[0])])  # (T, L_CHUNK, R)
+        dWp = jnp.stack([
+            jax.lax.dot_general(
+                ddelta[t], dtr[t], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for t in range(ddelta.shape[0])])  # (T, D_BLK, R)
+        ddt_ref[:, 0] = ddtr.astype(ddt_ref.dtype)
+        dW_ref[:] += dWp
+    else:
+        ddt_ref[:] = ddelta.astype(ddt_ref.dtype)
 
 
 def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
-    (u, delta, At_bk, Bmat, Cmat, Dp_bk, bias_bk, hsave) = res
+    (u, delta, Wt_bk, At_bk, Bmat, Cmat, Dp_bk, bias_bk, hsave) = res
     BK, L, dim = u.shape
     N = At_bk.shape[1]
     T = cfg.t_bwd
     flat = N * cfg.d_blk
     has_D = Dp_bk is not None
     has_bias = bias_bk is not None
+    lowrank = Wt_bk is not None
+    R = delta.shape[-1] if lowrank else None
 
     grid = (BK // T, cfg.n_dblk, cfg.n_lchunk)
 
@@ -1167,9 +1249,20 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
     def _xld(bk, d, l):
         return (bk, _rl(l), d)
 
+    dt_spec = (pl.BlockSpec((T, cfg.l_chunk, R),
+                            lambda bk, d, l: (bk, _rl(l), 0),
+                            memory_space=pltpu.VMEM) if lowrank else
+               pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld,
+                            memory_space=pltpu.VMEM))
+    wt_spec = (pl.BlockSpec((T, R, cfg.d_blk),
+                            lambda bk, d, l: (bk, 0, d),
+                            memory_space=pltpu.VMEM) if lowrank else
+               pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
+                            memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        dt_spec,
+        wt_spec,
         pl.BlockSpec((T, N, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((T, cfg.l_chunk, N), lambda bk, d, l: (bk, _rl(l), 0),
@@ -1185,9 +1278,30 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
     ]
+    # ddt output: full (BK, L, D) normally; per-d-block LOW-RANK partials
+    # (BK, n_dblk, L, R) in lowrank mode (summed over n_dblk outside). The
+    # dW accumulator output only carries data in lowrank mode (the dummy
+    # is never written -- discarded by the caller).
+    ddt_spec = (pl.BlockSpec((T, 1, cfg.l_chunk, R),
+                             lambda bk, d, l: (bk, d, _rl(l), 0),
+                             memory_space=pltpu.VMEM) if lowrank else
+                pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld,
+                             memory_space=pltpu.VMEM))
+    ddt_shape = (jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, R), jnp.float32)
+                 if lowrank else
+                 jax.ShapeDtypeStruct((BK, L, dim), u.dtype))
+    dw_spec = (pl.BlockSpec((T, cfg.d_blk, R),
+                            lambda bk, d, l: (bk, d, 0),
+                            memory_space=pltpu.VMEM) if lowrank else
+               pl.BlockSpec((T, 1, cfg.d_blk),
+                            lambda bk, d, l: (bk, 0, d),
+                            memory_space=pltpu.VMEM))
+    dw_shape = (jax.ShapeDtypeStruct((BK, dim, R), jnp.float32) if lowrank
+                else jax.ShapeDtypeStruct((BK, 1, dim), jnp.float32))
     out_specs = (
         pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
+        ddt_spec,
+        dw_spec,
         pl.BlockSpec((T, 1, 1, flat), lambda bk, d, l: (bk, d, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 1, cfg.l_chunk, N),
@@ -1203,7 +1317,8 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
     )
     out_shapes = (
         jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
-        jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
+        ddt_shape,
+        dw_shape,
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, 1, flat), jnp.float32),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, N), jnp.float32),
@@ -1213,10 +1328,10 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
 
     kernel = functools.partial(
         _bwd_kernel, N=N, delta_softplus=delta_softplus,
-        has_D=has_D, has_bias=has_bias,
+        has_D=has_D, has_bias=has_bias, lowrank=lowrank,
     )
     zeros = jnp.zeros((BK, 1, dim), jnp.float32)
-    du, ddt, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
+    du, ddt, dW_p, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -1226,24 +1341,28 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u, delta, At_bk, Bmat, Cmat,
+    )(u, delta,
+      Wt_bk if lowrank else zeros,
+      At_bk, Bmat, Cmat,
       Dp_bk if has_D else zeros,
       bias_bk if has_bias else zeros,
       hsave, dy)
 
-    return du, ddt, dA_p, jnp.sum(dB_p, axis=1), jnp.sum(dC_p, axis=1), \
-        dD_p, dbias_p
+    if lowrank:
+        ddt = jnp.sum(ddt, axis=1)  # (BK, L, R): sum the d-block partials
+    return du, ddt, (dW_p if lowrank else None), dA_p, \
+        jnp.sum(dB_p, axis=1), jnp.sum(dC_p, axis=1), dD_p, dbias_p
 
 
 # ----------------------------------------------------------------------------
 # custom_vjp wrapper (public (B, K, ...) layouts; BK folding inside)
 # ----------------------------------------------------------------------------
 
-def _fold(u, delta, A, Bmat, Cmat, Dp, bias):
+def _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow=None):
     B, K, L, dim = u.shape
     BK = B * K
     u_f = u.reshape(BK, L, dim)
-    dt_f = delta.reshape(BK, L, dim)
+    dt_f = delta.reshape(BK, L, -1)  # (BK, L, D) or (BK, L, R) lowrank
     At = jnp.swapaxes(A, 1, 2)                         # (K, N, dim)
     At_bk = jnp.broadcast_to(At[None], (B,) + At.shape).reshape(
         BK, *At.shape[1:])
@@ -1257,45 +1376,59 @@ def _fold(u, delta, A, Bmat, Cmat, Dp, bias):
     if bias is not None:
         bias_bk = jnp.broadcast_to(
             bias[None, :, None, :], (B, K, 1, dim)).reshape(BK, 1, dim)
-    return u_f, dt_f, At_bk, B_f, C_f, Dp_bk, bias_bk
+    Wt_bk = None
+    if Wlow is not None:
+        # keeps Wlow's dtype (the kernels convert to fp32 in VMEM) so the
+        # dW cotangent dtype can match the primal under mixed precision
+        Wt = jnp.swapaxes(Wlow, 1, 2)                  # (K, R, dim)
+        Wt_bk = jnp.broadcast_to(Wt[None], (B,) + Wt.shape).reshape(
+            BK, *Wt.shape[1:])
+    return u_f, dt_f, Wt_bk, At_bk, B_f, C_f, Dp_bk, bias_bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _scan_pallas_core(u, delta, A, Bmat, Cmat, Dp, bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _scan_pallas_core(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
                       delta_softplus, interpret):
-    out, _ = _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias,
+    out, _ = _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
                        delta_softplus, interpret)
     return out
 
 
-def _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, delta_softplus, interpret):
+def _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow, delta_softplus,
+              interpret):
     B, K, L, dim = u.shape
     N = A.shape[-1]
     cfg = _pick_blocks(L, dim, B * K, N)
-    folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias)
+    folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow)
     out, hsave = _fwd_pallas(*folded, delta_softplus, cfg, interpret)
     return out.reshape(B, K, L, dim), (folded, hsave, (B, K, L, dim))
 
 
 def _core_bwd(delta_softplus, interpret, res, dy):
     folded, hsave, (B, K, L, dim) = res
-    N = folded[2].shape[1]
+    lowrank = folded[2] is not None
+    N = folded[3].shape[1]
     cfg = _pick_blocks(L, dim, B * K, N)
-    du, ddt, dA_p, dB, dC, dD_p, dbias_p = _bwd_pallas(
+    du, ddt, dW_p, dA_p, dB, dC, dD_p, dbias_p = _bwd_pallas(
         folded + (hsave,), dy.reshape(B * K, L, dim),
         delta_softplus=delta_softplus, cfg=cfg, interpret=interpret)
-    has_D = folded[5] is not None
-    has_bias = folded[6] is not None
+    has_D = folded[6] is not None
+    has_bias = folded[7] is not None
     du = du.reshape(B, K, L, dim)
-    ddt = ddt.reshape(B, K, L, dim)
+    ddt = ddt.reshape(B, K, L, -1).astype(folded[1].dtype)
     # dA_p: (BK, n_dblk, 1, N*d_blk) flat n-major within each d-block
     dA = dA_p.reshape(B, K, cfg.n_dblk, N, cfg.d_blk).sum(axis=0)
     dA = dA.transpose(0, 1, 3, 2).reshape(K, dim, N)
-    dB = dB.reshape(B, K, L, N).astype(folded[3].dtype)
-    dC = dC.reshape(B, K, L, N).astype(folded[4].dtype)
+    dB = dB.reshape(B, K, L, N).astype(folded[4].dtype)
+    dC = dC.reshape(B, K, L, N).astype(folded[5].dtype)
     dD = dD_p.reshape(B, K, dim).sum(axis=0) if has_D else None
     dbias = dbias_p.reshape(B, K, dim).sum(axis=0) if has_bias else None
-    return (du, ddt, dA, dB, dC, dD, dbias)
+    dW = None
+    if lowrank:
+        # dW_p: (BK, dim, R) -> (K, dim, R) summed over batch; cotangent
+        # dtype matches the primal weight (folded[2] kept Wlow's dtype)
+        dW = dW_p.reshape(B, K, dim, -1).sum(axis=0).astype(folded[2].dtype)
+    return (du, ddt, dA, dB, dC, dD, dbias, dW)
 
 
 _scan_pallas_core.defvjp(
@@ -1315,7 +1448,14 @@ def selective_scan_pallas(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     interpret: bool = False,
+    dt_lowrank_weight: jax.Array | None = None,
 ):
+    """dt_lowrank_weight (K, dim, R): when given, `delta` is the LOW-RANK
+    (B, K, L, R) dt_proj input and the expansion delta = dtr @ W^T runs
+    INSIDE the kernel on the MXU (prologue fusion a la MambaInnerFn,
+    `selective_scan_interface.py:161-358`) -- the (B, K, L, dim) dt tensor
+    never exists in HBM in either direction; the backward emits low-rank
+    d_dtr and the dW_dt gradient directly."""
     if return_last_state:
         raise NotImplementedError(
             "return_last_state is served by the ref/assoc implementations")
@@ -1330,6 +1470,7 @@ def selective_scan_pallas(
         Cmat.astype(in_dtype),
         None if D is None else D.astype(jnp.float32),
         None if delta_bias is None else delta_bias.astype(jnp.float32),
+        dt_lowrank_weight,
         delta_softplus, interpret,
     )
     return out.astype(in_dtype)

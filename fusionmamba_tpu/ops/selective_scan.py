@@ -32,20 +32,36 @@ _IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "sp",
           "bypass")
 
 
+def _materialize_dt(delta, dt_lowrank_weight):
+    """(B, K, L, R) @ (K, D, R) -> (B, K, L, D) full dt for the impls that
+    take the expanded layout (ref/assoc/sp and the guard's margin)."""
+    if dt_lowrank_weight is None:
+        return delta
+    return jnp.einsum("bklr,kdr->bkld", delta,
+                      dt_lowrank_weight.astype(delta.dtype))
+
+
 def _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-                   return_last_state):
+                   return_last_state, dt_lowrank_weight=None):
     """Route per *lowering platform*, not per default backend: under the
     axon tunnel jax.default_backend() is always 'tpu' even when the
     computation targets a virtual CPU mesh (multichip dryrun), so the
-    decision must be made inside the lowered program."""
+    decision must be made inside the lowered program.
+
+    The low-rank dt materialization for the non-Pallas branch happens
+    INSIDE that branch, so TPU lowerings never emit it (platform_dependent
+    drops the dead branch at lowering time)."""
     if return_last_state:  # pallas serves the no-last-state fast path only
         return selective_scan_assoc(
-            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, True)
+            u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
+            delta_bias, delta_softplus, True)
     return jax.lax.platform_dependent(
         tpu=lambda: selective_scan_pallas(
-            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False),
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False,
+            dt_lowrank_weight=dt_lowrank_weight),
         default=lambda: selective_scan_assoc(
-            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False),
+            u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
+            delta_bias, delta_softplus, False),
     )
 
 
@@ -60,25 +76,38 @@ def selective_scan(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     impl: str = "auto",
+    dt_lowrank_weight: jax.Array | None = None,
 ):
+    """dt_lowrank_weight (K, D, R): prologue fusion. When given, `delta` is
+    the LOW-RANK (B, K, L, R) dt_proj input (the reference's x_proj dt
+    slice, `models/cross.py:305-310`) and the expansion to (B, K, L, D)
+    happens INSIDE the Pallas kernel on the MXU -- the full dt tensor never
+    round-trips through HBM on the TPU path (MambaInnerFn-scope fusion,
+    `selective_scan_interface.py:161-358`). Non-Pallas impls materialize
+    it with one einsum and behave identically."""
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     if impl != "bypass":
         # zero-cost unless a collect_saturation_margins() context is active
-        # (train steps use it to detect cumsum-clip saturation, scan_guard.py)
-        from .scan_guard import maybe_record
-        maybe_record(delta, A, delta_bias, delta_softplus)
+        # (train steps use it to detect cumsum-clip saturation,
+        # scan_guard.py). With the guard on, the low-rank path pays one
+        # einsum materialization of dt -- the documented ~1-2% guard cost.
+        from .scan_guard import is_collecting, maybe_record
+        if is_collecting():
+            maybe_record(_materialize_dt(delta, dt_lowrank_weight), A,
+                         delta_bias, delta_softplus)
     if impl == "auto":
         return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
-                              delta_softplus, return_last_state)
+                              delta_softplus, return_last_state,
+                              dt_lowrank_weight)
     if impl == "ref":
         return selective_scan_ref(
-            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-            return_last_state)
+            u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
+            delta_bias, delta_softplus, return_last_state)
     if impl == "assoc":
         return selective_scan_assoc(
-            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-            return_last_state)
+            u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
+            delta_bias, delta_softplus, return_last_state)
     if impl == "sp":
         if return_last_state:
             raise NotImplementedError(
@@ -87,8 +116,8 @@ def selective_scan(
         # lazy import: parallel.seq_scan imports this module
         from ..parallel.seq_scan import selective_scan_seq_parallel
         return selective_scan_seq_parallel(
-            u, delta, A, Bmat, Cmat, D, delta_bias,
-            delta_softplus=delta_softplus, batch_axis="data")
+            u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
+            delta_bias, delta_softplus=delta_softplus, batch_axis="data")
     if impl == "bypass":
         # timing-ablation stub: correct shapes, no scan math (NOT a model)
         out = u * 1.0001 + 0.0001 * jnp.sum(Bmat * Cmat, axis=-1,
@@ -100,7 +129,8 @@ def selective_scan(
     if impl == "pallas_interpret":
         return selective_scan_pallas(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-            return_last_state, interpret=True)
+            return_last_state, interpret=True,
+            dt_lowrank_weight=dt_lowrank_weight)
     return selective_scan_pallas(
         u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-        return_last_state)
+        return_last_state, dt_lowrank_weight=dt_lowrank_weight)

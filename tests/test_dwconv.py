@@ -71,3 +71,33 @@ def test_bf16_io():
     g_ref = jax.grad(loss_xla)(x.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(g_ref),
                                rtol=3e-2, atol=5e-2)
+
+
+def test_dwconv_silu_epilogue_fwd_and_grads():
+    """act="silu" fuses the conv's SiLU into the kernel (fwd epilogue +
+    in-kernel recompute in the merged backward): matches the explicit
+    silu(conv(x)) composition on forward and all grads."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((3, 3, 16)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(16), jnp.float32)
+
+    got = depthwise_conv3x3(x, w, b, impl="pallas", interpret=True,
+                            act="silu")
+    want = jax.nn.silu(_xla_dwconv(x, w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(depthwise_conv3x3(x, w, b, impl="pallas",
+                                         interpret=True, act="silu") ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jax.nn.silu(_xla_dwconv(x, w, b)) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for name, a, bb in zip(["dx", "dw", "db"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4,
+            err_msg=f"dwconv silu grad mismatch {name}")

@@ -89,3 +89,41 @@ def test_ln_odd_rows_falls_back():
     want = _flax_ln(x, scale, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gate_act", ["silu", "silu_sum"])
+def test_ln_gate_activation_fused(gate_act):
+    """gate_act folds the gate's activation into the kernel: "silu" is
+    SS2D's y * silu(z) (`models/cross.py:731,742`); "silu_sum" is
+    SS2DCross's y*(silu(z) + silu(silu(z))) dual gate
+    (`models/cross.py:1207-1209,1225-1229`). Forward and all grads vs the
+    explicit composition."""
+    rng = np.random.default_rng(3)
+    shape, C = (2, 16, 96), 96
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    gate = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def act(g):
+        s1 = jax.nn.silu(g)
+        return s1 if gate_act == "silu" else s1 + jax.nn.silu(s1)
+
+    def loss_fused(x, scale, bias, gate):
+        return jnp.sum(layer_norm_fused(x, scale, bias, gate,
+                                        gate_act=gate_act,
+                                        interpret=True) * w)
+
+    def loss_ref(x, scale, bias, gate):
+        return jnp.sum(_flax_ln(x, scale, bias) * act(gate) * w)
+
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        x, scale, bias, gate)
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        x, scale, bias, gate)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+    for name, a, b in zip(["dx", "dscale", "dbias", "dgate"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"gate_act={gate_act} grad mismatch {name}")

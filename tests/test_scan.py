@@ -299,3 +299,132 @@ def test_cumsum_algo_matches_ref_in_init_regime(monkeypatch, algo, mm_mode,
         np.testing.assert_allclose(
             np.asarray(g_got) / scale, np.asarray(g_ref) / scale,
             rtol=gr, atol=ga, err_msg=f"gradient mismatch for {name}")
+
+
+@pytest.mark.smoke
+def test_lowrank_dt_prologue_fusion():
+    """dt passed LOW-RANK (dtr, W) with the expansion fused into the kernel
+    (prologue fusion): forward and ALL grads -- including ddtr and dW --
+    match the materialized-dt oracle."""
+    rng = np.random.default_rng(7)
+    batch, K, L, dim, N, R = 1, 2, 32, 8, 4, 3
+    u, _, A, B, C, D, bias = make_inputs(rng, batch=batch, K=K, L=L,
+                                         dim=dim, N=N)
+    dtr = (0.5 * rng.standard_normal((batch, K, L, R))).astype(np.float32)
+    W = (0.4 * rng.standard_normal((K, dim, R))).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (u, dtr, A, B, C, D, bias, W))
+
+    def cot(out):
+        return jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape)
+
+    def loss_low(u, dtr, A, B, C, D, bias, W):
+        out = selective_scan_pallas(u, dtr, A, B, C, D, bias, True,
+                                    interpret=True, dt_lowrank_weight=W)
+        return jnp.sum(out * cot(out))
+
+    def loss_mat(u, dtr, A, B, C, D, bias, W):
+        delta = jnp.einsum("bklr,kdr->bkld", dtr, W)
+        out = selective_scan_ref(u, delta, A, B, C, D, bias, True)
+        return jnp.sum(out * cot(out))
+
+    v_low, g_low = jax.value_and_grad(
+        loss_low, argnums=tuple(range(8)))(*args)
+    v_mat, g_mat = jax.value_and_grad(
+        loss_mat, argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(v_low), float(v_mat), rtol=1e-4)
+    for name, gl, gm in zip(
+            ["du", "ddtr", "dA", "dB", "dC", "dD", "dbias", "dW"],
+            g_low, g_mat):
+        np.testing.assert_allclose(
+            np.asarray(gl), np.asarray(gm), rtol=1e-3, atol=1e-3,
+            err_msg=f"lowrank gradient mismatch for {name}")
+
+
+def test_lowrank_dt_multichunk_and_dispatch():
+    """Low-rank dt through the public dispatch (every impl) and across the
+    multi-chunk carry path: all impls agree with the materialized ref."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    from fusionmamba_tpu.ops.selective_scan import selective_scan
+
+    rng = np.random.default_rng(8)
+    batch, K, L, dim, N, R = 1, 1, 64, 8, 4, 3
+    u, _, A, B, C, D, bias = make_inputs(rng, batch=batch, K=K, L=L,
+                                         dim=dim, N=N)
+    dtr = (0.5 * rng.standard_normal((batch, K, L, R))).astype(np.float32)
+    W = (0.4 * rng.standard_normal((K, dim, R))).astype(np.float32)
+    ja = tuple(jnp.asarray(x) for x in (u, dtr, A, B, C, D, bias))
+    jW = jnp.asarray(W)
+
+    delta = np.einsum("bklr,kdr->bkld", dtr, W)
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+
+    for impl in ("ref", "assoc"):
+        got = selective_scan(*ja, delta_softplus=True, impl=impl,
+                             dt_lowrank_weight=jW)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4,
+                                   atol=2e-3, err_msg=impl)
+
+    # pallas with a small l_chunk: the low-rank dot runs per chunk and the
+    # carry still matches
+    orig = sp._pick_blocks
+    sp._pick_blocks = (
+        lambda L, D, BK, N=16, d_cap=256, l_cap=16: orig(L, D, BK, N,
+                                                         d_cap, 16))
+    try:
+        got = selective_scan_pallas(*ja, delta_softplus=True,
+                                    interpret=True, dt_lowrank_weight=jW)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4,
+                                   atol=2e-3)
+    finally:
+        sp._pick_blocks = orig
+
+
+@pytest.mark.tpu
+def test_lowrank_dt_compiled_matches_materialized():
+    """COMPILED lowrank kernel at model-like widths vs the materialized-dt
+    compiled kernel (identical algorithm/default config): the prologue
+    fusion must not change the shipped kernel's numerics envelope."""
+    rng = np.random.default_rng(9)
+    batch, K, L, dim, N = 2, 4, 256, 192, 16
+    R = 6
+    u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+    dtr = (0.3 * rng.standard_normal((batch, K, L, R))).astype(np.float32)
+    W = (0.3 * rng.standard_normal((K, dim, R))).astype(np.float32)
+    A = -np.broadcast_to(np.arange(1.0, N + 1.0), (K, dim, N)).astype(
+        np.float32).copy()
+    B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    D = rng.standard_normal((K, dim)).astype(np.float32)
+    dtv = np.exp(rng.uniform(np.log(1e-3), np.log(0.1), (K, dim)))
+    bias = (dtv + np.log(-np.expm1(-dtv))).astype(np.float32)
+
+    ja = tuple(jnp.asarray(x) for x in (u, dtr, A, B, C, D, bias))
+    jW = jnp.asarray(W)
+
+    def low(u, dtr, A, B, C, D, bias):
+        out = selective_scan_pallas(u, dtr, A, B, C, D, bias, True,
+                                    dt_lowrank_weight=jW)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape)
+        return jnp.sum(out * w), out
+
+    def mat(u, dtr, A, B, C, D, bias):
+        delta = jnp.einsum("bklr,kdr->bkld", dtr, jW)
+        out = selective_scan_pallas(u, delta, A, B, C, D, bias, True)
+        w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+            out.shape)
+        return jnp.sum(out * w), out
+
+    (v_l, out_l), g_l = jax.jit(jax.value_and_grad(
+        low, argnums=tuple(range(7)), has_aux=True))(*ja)
+    (v_m, out_m), g_m = jax.jit(jax.value_and_grad(
+        mat, argnums=tuple(range(7)), has_aux=True))(*ja)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_m),
+                               rtol=2e-3, atol=2e-3)
+    for name, gl, gm in zip(
+            ["du", "ddtr", "dA", "dB", "dC", "dD", "dbias"], g_l, g_m):
+        sc = np.maximum(np.abs(np.asarray(gm)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(gl) / sc, np.asarray(gm) / sc, rtol=2e-3, atol=2e-3,
+            err_msg=f"compiled lowrank grad mismatch {name}")

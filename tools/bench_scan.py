@@ -28,13 +28,25 @@ N = 16
 
 _DTYPE = jnp.float32
 _BATCH_OVR = None
+# prologue-fusion mode: dt is passed LOW-RANK (B, K, L, R) with the model's
+# R = d_model/16 = D/32 and the dt_projs weight goes through
+# dt_lowrank_weight (scan_pallas.py kernel-internal expansion)
+_LOWRANK_W = None
 
 
-def make_args(L, D, seed=0):
+def make_args(L, D, seed=0, lowrank=False):
+    global _LOWRANK_W
     rng = np.random.default_rng(seed)
     b = _BATCH_OVR or BATCH
     u = jnp.asarray(rng.standard_normal((b, K, L, D)), _DTYPE)
-    dt = jnp.asarray(0.1 * rng.standard_normal((b, K, L, D)), _DTYPE)
+    if lowrank:
+        R = max(D // 32, 1)
+        dt = jnp.asarray(0.1 * rng.standard_normal((b, K, L, R)), _DTYPE)
+        _LOWRANK_W = jnp.asarray(
+            0.3 * rng.standard_normal((K, D, R)), _DTYPE)
+    else:
+        dt = jnp.asarray(0.1 * rng.standard_normal((b, K, L, D)), _DTYPE)
+        _LOWRANK_W = None
     A = -jnp.exp(jnp.asarray(rng.uniform(0, 1.5, (K, D, N)), jnp.float32))
     Bm = jnp.asarray(rng.standard_normal((b, K, L, N)), _DTYPE)
     Cm = jnp.asarray(rng.standard_normal((b, K, L, N)), _DTYPE)
@@ -73,6 +85,9 @@ def main():
                     help="compare FM_SCAN_ALGO variants in subprocesses")
     ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--lowrank", action="store_true",
+                    help="pass dt low-rank + projection weight (prologue "
+                         "fusion; chained mode only)")
     args = ap.parse_args()
     global _DTYPE, _BATCH_OVR
     if args.dtype == "bf16":
@@ -83,7 +98,7 @@ def main():
         return
     if args.chained:
         main_chained(impl=args.impl, bwd=args.bwd,
-                     stages=STAGES[:args.stages])
+                     stages=STAGES[:args.stages], lowrank=args.lowrank)
         return
 
     for L, D in STAGES:
@@ -134,16 +149,19 @@ def timed_chained(make_fn, inputs, reps=8, iters=5):
     return (time.perf_counter() - t0) / (iters * reps)
 
 
-def main_chained(impl="pallas", bwd=False, stages=STAGES):
+def main_chained(impl="pallas", bwd=False, stages=STAGES, lowrank=False):
     for L, D in stages:
-        inputs = make_args(L, D)
-        fwd_fn = lambda *a: selective_scan(*a, delta_softplus=True, impl=impl)
+        inputs = make_args(L, D, lowrank=lowrank)
+        W = _LOWRANK_W
+        fwd_fn = lambda *a: selective_scan(*a, delta_softplus=True,
+                                           impl=impl, dt_lowrank_weight=W)
         t_fwd = timed_chained(fwd_fn, inputs)
         line = f"L={L:5d} D={D:5d} fwd={t_fwd*1e3:7.3f}ms"
         if bwd:
             grad_fn = lambda *a: jax.grad(
                 lambda *b: jnp.sum(selective_scan(
-                    *b, delta_softplus=True, impl=impl)),
+                    *b, delta_softplus=True, impl=impl,
+                    dt_lowrank_weight=W)),
                 argnums=(0, 1))(*a)[0].mean()
             t_bwd = timed_chained(grad_fn, inputs)
             line += f"  fwd+bwd={t_bwd*1e3:7.3f}ms"
