@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.ln_pallas import layer_norm_fused
+from ..ops.ln_pallas import layer_norm_fused, ln_spatial_mean
 from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
 
 
@@ -126,22 +126,40 @@ class ECALayer(nn.Module):
         return x * gate[:, None, None, :]
 
 
+class _BareLNParams(nn.Module):
+    """LayerNorm scale/bias parameters only, param tree identical to
+    nn.LayerNorm / FusedLayerNorm (checkpoint-interchangeable)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class BiAttn(nn.Module):
     """Global channel attention (`models/cross.py:744-768`): LN -> spatial
-    mean -> reduce(0.125x) -> GELU -> expand -> sigmoid -> scale input."""
+    mean -> reduce(0.125x) -> GELU -> expand -> sigmoid -> scale input.
+
+    The LN output feeds ONLY the spatial mean, so the LN + mean run as one
+    fused reduction (ops/ln_pallas.py::ln_spatial_mean): the full-width
+    normalized tensor never exists in HBM in either direction. Param tree
+    ("norm"/scale+bias) stays identical to the unfused nn.LayerNorm form,
+    so checkpoints are interchangeable."""
     in_channels: int
     act_ratio: float = 0.125
 
     @nn.compact
     def __call__(self, x):  # NHWC
+        C = x.shape[-1]
         reduce_ch = int(self.in_channels * self.act_ratio)
-        ori = x
+        scale, bias = _BareLNParams(C, name="norm")()
         # eps 1e-5 = torch nn.LayerNorm default (`models/cross.py:748`)
-        x = FusedLayerNorm(epsilon=1e-5, name="norm")(x)
-        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = ln_spatial_mean(x, scale, bias, eps=1e-5)  # (B, C) fp32
+        g = g.astype(x.dtype)[:, None, None, :]
         g = gelu_exact(Dense(reduce_ch, name="global_reduce")(g))
         attn = jax.nn.sigmoid(Dense(self.in_channels, name="channel_select")(g))
-        return ori * attn
+        return x * attn
 
 
 class Mlp(nn.Module):

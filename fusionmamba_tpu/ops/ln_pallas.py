@@ -213,6 +213,138 @@ def _ln_core_bwd(eps, gate_act, interpret, res, dy2):
 _ln_core.defvjp(_ln_core_fwd, _ln_core_bwd)
 
 
+# ----------------------------------------------------------------------------
+# LN -> spatial-mean fusion (BiAttn's stats path)
+# ----------------------------------------------------------------------------
+
+def _lnm_fwd_kernel(x_ref, s_ref, b_ref, o_ref, *, eps, inv_rows):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:].astype(jnp.float32)            # (1, R_BLK, C)
+    mu, rs = _stats(x, eps)
+    y = (x - mu) * rs * s_ref[:] + b_ref[:]
+    o_ref[:] += jnp.sum(y, axis=-2) * inv_rows  # (1, C)
+
+
+def _lnm_bwd_kernel(x_ref, s_ref, w_ref, dx_ref, xs_ref, *, eps):
+    """dx for m = mean_rows(LN(x)) given the PRE-SCALED per-batch cotangent
+    w = dm * scale / rows (constant across rows): the standard LN backward
+    with a row-constant dy. Also accumulates the per-batch xhat row sum
+    (dscale's data term) in the same single pass over x."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        xs_ref[:] = jnp.zeros_like(xs_ref)
+
+    x = x_ref[:].astype(jnp.float32)            # (1, R_BLK, C)
+    w = w_ref[:]                                # (1, 1, C) fp32
+    mu, rs = _stats(x, eps)
+    xhat = (x - mu) * rs
+    xs_ref[:] += jnp.sum(xhat, axis=-2)
+    m1 = jnp.mean(w, axis=-1, keepdims=True)    # scalar per batch row
+    m2 = jnp.mean(w * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (rs * (w - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _lnm_specs(B, rows, C, r_blk):
+    x_spec = pl.BlockSpec((1, r_blk, C), lambda b, r: (b, r, 0),
+                          memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, C), lambda b, r: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, C), lambda b, r: (b, 0),
+                            memory_space=pltpu.VMEM)
+    return x_spec, par_spec, out_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _lnm_core(x3, scale, bias, eps, interpret):
+    B, rows, C = x3.shape
+    r_blk = _pick_rows(rows, C)
+    x_spec, par_spec, out_spec = _lnm_specs(B, rows, C, r_blk)
+    return pl.pallas_call(
+        functools.partial(_lnm_fwd_kernel, eps=eps, inv_rows=1.0 / rows),
+        grid=(B, rows // r_blk),
+        in_specs=[x_spec, par_spec, par_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x3, scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32))
+
+
+def _lnm_fwd(x3, scale, bias, eps, interpret):
+    return _lnm_core(x3, scale, bias, eps, interpret), (x3, scale)
+
+
+def _lnm_bwd(eps, interpret, res, dm):
+    x3, scale = res
+    B, rows, C = x3.shape
+    r_blk = _pick_rows(rows, C)
+    x_spec, par_spec, out_spec = _lnm_specs(B, rows, C, r_blk)
+    w = (dm.astype(jnp.float32) * scale.astype(jnp.float32)[None]
+         / rows)                                 # (B, C)
+    w_spec = pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dx, xhat_sum = pl.pallas_call(
+        functools.partial(_lnm_bwd_kernel, eps=eps),
+        grid=(B, rows // r_blk),
+        in_specs=[x_spec, par_spec, w_spec],
+        out_specs=(x_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, rows, C), x3.dtype),
+                   jax.ShapeDtypeStruct((B, C), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x3, scale.reshape(1, C).astype(jnp.float32), w[:, None, :])
+    dscale = jnp.sum(dm.astype(jnp.float32) * xhat_sum, axis=0) / rows
+    dbias = jnp.sum(dm.astype(jnp.float32), axis=0)
+    return (dx, dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_lnm_core.defvjp(_lnm_fwd, _lnm_bwd)
+
+
+def _lnm_ref(x3, scale, bias, eps):
+    y = _ln_ref(x3, scale, bias, None, eps)
+    return jnp.mean(y.astype(jnp.float32), axis=-2)
+
+
+def ln_spatial_mean(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    eps: float = 1e-5, interpret: bool = False,
+                    impl: str = "auto") -> jax.Array:
+    """mean over all leading-middle positions of LayerNorm(x): x (B, ..., C)
+    -> (B, C) fp32. The full-width LN output never exists in HBM (it is
+    reduced in VMEM as it is computed) -- BiAttn's stats path
+    (`models/cross.py:756-760`), where LN(x) feeds ONLY the spatial mean.
+    Backward reads x once (row-constant-cotangent LN backward) and never
+    materializes the broadcast dy."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    rows = x.size // (B * C)
+    x3 = x.reshape(B, rows, C)
+
+    def _pallas_path():
+        return _lnm_core(x3, scale, bias, eps, interpret)
+
+    if impl == "xla":
+        return _lnm_ref(x3, scale, bias, eps)
+    if impl == "pallas" or interpret:
+        return _pallas_path()
+    if rows % 8 != 0:
+        return _lnm_ref(x3, scale, bias, eps)
+    return jax.lax.platform_dependent(
+        tpu=_pallas_path,
+        default=lambda: _lnm_ref(x3, scale, bias, eps))
+
+
 def layer_norm_fused(x: jax.Array, scale: jax.Array, bias: jax.Array,
                      gate: jax.Array | None = None, eps: float = 1e-6,
                      impl: str = "auto", interpret: bool = False,

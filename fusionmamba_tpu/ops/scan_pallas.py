@@ -143,9 +143,11 @@ _GRAD_MM_MODE = os.environ.get("FM_SCAN_GRAD_MM", "default")
 
 # element budgets bounding the scoped VMEM stack; the dominant live buffers
 # are (T, l_chunk, N*d_blk) f32 flats (~6 forward, ~12 backward; the
-# pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB)
+# pallas_call raises vmem_limit_bytes to 100 MB of the v5e's 128 MB).
+# BWD default 512K (r4 sweep): lifts the deep-stage (L=16) backward to
+# T=6 per cell (-3%), neutral elsewhere.
 _FWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_FWD_BUDGET", 256 * 1024))
-_BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 128 * 1024))
+_BWD_ELEM_BUDGET = int(os.environ.get("FM_SCAN_BWD_BUDGET", 512 * 1024))
 
 # cap on the intra-cell L chunk. Smaller chunks do fewer doubling passes per
 # element (log2 l_chunk) at the cost of more sequential grid steps and one
@@ -176,6 +178,15 @@ _PINV_MODE = os.environ.get("FM_SCAN_PINV", "exp")
 # "loop" = per-n slice + fma accumulation, "mm" = F-wide multiply against
 # lane-broadcast expansions + exact block-ones MXU dots (see PERF.md)
 _NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
+
+# daaA-only MXU variant: A is l-invariant, so daaA = daa @ M with
+# M[n*d_blk+d', d] = A[d, n]*[d'==d] -- a block-diag matrix built ONCE per
+# (bk, d) grid pair into VMEM scratch (bf16, ~2^-8 rounding on the dA/ddt
+# A-term, same class as the shipped GRAD_MM default) and reused across
+# l-chunks; replaces the loop's 2N d_blk-wide fma passes with one dot.
+# Unlike NLOOP=mm (rejected: rebuilt lane-broadcast expansions per cell)
+# the expansion cost here is hoisted out of the l loop.
+_DAA_MODE = os.environ.get("FM_SCAN_DAA", "loop")
 
 # fused build x rescale for the cumsum algorithms: build the PRE-SCALED scan
 # operands directly inside the per-n concats -- Z_n = du*B_n*exp(-s_n) and
@@ -280,12 +291,22 @@ def _largest_divisor_leq(n: int, cap: int, prefer_multiple: int = 128) -> int:
 
 
 _D_CAP = int(os.environ.get("FM_SCAN_DCAP", 256))
+_D_CAP_EXPLICIT = "FM_SCAN_DCAP" in os.environ
 
 
 def _pick_blocks(L: int, D: int, BK: int, N: int = 16, d_cap: int | None = None,
                  l_cap: int | None = None) -> _BlockCfg:
     if d_cap is None:
         d_cap = _D_CAP
+        # LONG-chunk stages amortize per-cell overheads, so widening the
+        # d-block pays there: 384-lane blocks cut stage-2 (L=256, D=384)
+        # fwd+bwd 6% by collapsing n_dblk 3->1 (fewer redundant lowrank-dt
+        # dots + partials). Short-chunk stages REGRESS badly at 384
+        # (L=64: +20%, L=16: +63% -- r4 sweep, bench_artifacts/r4) so the
+        # widening is gated on the chunk length.
+        if (not _D_CAP_EXPLICIT and D % 384 == 0
+                and _largest_divisor_leq(L, _L_CAP, 8) >= 256):
+            d_cap = 384
     if l_cap is None:
         l_cap = _L_CAP
     d_blk = _largest_divisor_leq(D, d_cap)
@@ -980,9 +1001,9 @@ def _bwd_kernel(
     u_ref, dt_ref, Wt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref,
     hsave_ref, dy_ref,
     du_ref, ddt_ref, dW_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
-    g_carry,
+    g_carry, M_scratch=None,
     *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
-    lowrank: bool,
+    lowrank: bool, daa_mm: bool = False,
 ):
     l_idx = pl.program_id(2)
     is_first_step = l_idx == 0  # maps to the LAST chunk (grid runs L reversed)
@@ -995,6 +1016,17 @@ def _bwd_kernel(
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
         if lowrank:
             dW_ref[:] = jnp.zeros_like(dW_ref)
+        if daa_mm:
+            # hoisted block-diag daaA weight (see _DAA_MODE): built once
+            # per (bk, d) pair, reused across the l-chunk iterations
+            At_w = At_ref[:]                    # (T, N, D_BLK)
+            db = At_w.shape[-1]
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (db, db), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (db, db), 1))
+            for t in range(At_w.shape[0]):
+                M_scratch[t] = jnp.concatenate(
+                    [jnp.where(eye, At_w[t, n:n + 1, :], 0.0).astype(
+                        jnp.bfloat16) for n in range(N)], axis=0)
 
     delta_raw = _delta_raw_from_refs(dt_ref, Wt_ref, lowrank)
     if has_bias:
@@ -1131,7 +1163,16 @@ def _bwd_kernel(
     gB = jnp.zeros_like(u)          # sum_n g_n * B_n       (T, L, D_BLK)
     daaA = jnp.zeros_like(u)        # sum_n daa_n * A_n
     dA_parts, dB_parts, dC_parts = [], [], []
+    # per-n graddot products built inside the SAME loop that slices g/daa
+    # for gB/daaA: concat of FRESH multiplies (Mosaic-legal) replaces the
+    # three F-wide _tile_d copies the MXU contractions used to consume
+    prodA_parts, prodB_parts, prodC_parts = [], [], []
     grad_mm = _GRAD_MM_MODE != "off"
+    # the hoisted-M daaA dot replaces the loop accumulation only where the
+    # bf16-dot gradient policy is already in force (grad_mm) and the loop
+    # actually runs
+    daa_dot = (daa_mm and grad_mm and "loop" not in _ABLATE
+               and _NLOOP_MODE != "mm")
     if "loop" in _ABLATE:
         gB = g[:, :, :d_blk]
         daaA = daa[:, :, :d_blk]
@@ -1153,13 +1194,23 @@ def _bwd_kernel(
             gn = g[:, :, sl]
             daan = daa[:, :, sl]
             gB = gB + gn * Bc[:, :, n:n + 1]
-            daaA = daaA + daan * At[:, n:n + 1, :]
-            if not grad_mm:
+            if not daa_dot:
+                daaA = daaA + daan * At[:, n:n + 1, :]
+            if grad_mm:
+                prodA_parts.append(daan * delta)
+                prodB_parts.append(gn * du_t)
+                prodC_parts.append(x[:, :, sl] * dy)
+            else:
                 dA_parts.append(
                     jnp.sum(daan * delta, axis=1, keepdims=True))
                 dB_parts.append(jnp.sum(gn * du_t, axis=2, keepdims=True))
                 dC_parts.append(
                     jnp.sum(x[:, :, sl] * dy, axis=2, keepdims=True))
+    if daa_dot:
+        daaA = jnp.stack([
+            jax.lax.dot(daa[t].astype(jnp.bfloat16), M_scratch[t],
+                        preferred_element_type=jnp.float32)
+            for t in range(daa.shape[0])])
     ddelta = daaA + u * gB
     du_acc = du_acc + delta * gB
     if "graddots" in _ABLATE:
@@ -1167,10 +1218,14 @@ def _bwd_kernel(
         dB_ref[:, 0] = g[:, :, 0:N]
         dC_ref[:, 0] = x[:, :, 0:N]
     elif grad_mm:
-        # dA_{nd} = sum_l daa_{l,nd} * delta_{l,d}: one F-wide multiply
-        # against the N-tiled delta + an MXU ones-row column sum, instead
-        # of N cross-sublane reduce trees (log2(L) sublane passes each)
-        prodA = daa * _tile_d(delta, N)
+        # dA_{nd} = sum_l daa_{l,nd} * delta_{l,d}: the per-n products from
+        # the loop above concatenated F-wide + an MXU ones-row column sum,
+        # instead of N cross-sublane reduce trees (log2(L) sublane passes
+        # each)
+        if prodA_parts:
+            prodA = jnp.concatenate(prodA_parts, axis=-1)
+        else:  # NLOOP=mm path did not run the per-n loop
+            prodA = daa * _tile_d(delta, N)
         dA_acc = jnp.stack(
             [_grad_colsum_dot(prodA[t])[0] for t in range(prodA.shape[0])])
         dA_ref[:, :, 0] += dA_acc[:, None]
@@ -1187,10 +1242,14 @@ def _bwd_kernel(
         # (mode-dependent -- see _GRAD_MM_MODE).
         T = g.shape[0]
         flatF = N * d_blk
-        prodB = g * (dut_t if dut_t is not None
-                     else jnp.concatenate([du_t] * N, axis=-1))
-        prodC = x * (dy_t if dy_t is not None
-                     else jnp.concatenate([dy] * N, axis=-1))
+        if prodB_parts:
+            prodB = jnp.concatenate(prodB_parts, axis=-1)
+            prodC = jnp.concatenate(prodC_parts, axis=-1)
+        else:
+            prodB = g * (dut_t if dut_t is not None
+                         else jnp.concatenate([du_t] * N, axis=-1))
+            prodC = x * (dy_t if dy_t is not None
+                         else jnp.concatenate([dy] * N, axis=-1))
         fblk = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 0) // d_blk
         ncol = jax.lax.broadcasted_iota(jnp.int32, (flatF, N), 1)
         blockones = (fblk == ncol).astype(
@@ -1287,7 +1346,10 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
                              memory_space=pltpu.VMEM) if lowrank else
                 pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld,
                              memory_space=pltpu.VMEM))
-    ddt_shape = (jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, R), jnp.float32)
+    # lowrank ddtr partials carry the ACTIVATION dtype (they are cast to it
+    # right after the n_dblk sum anyway; bf16 halves the partial write +
+    # the XLA reduce's read under mixed precision)
+    ddt_shape = (jax.ShapeDtypeStruct((BK, cfg.n_dblk, L, R), u.dtype)
                  if lowrank else
                  jax.ShapeDtypeStruct((BK, L, dim), u.dtype))
     dw_spec = (pl.BlockSpec((T, cfg.d_blk, R),
@@ -1326,10 +1388,14 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
         jax.ShapeDtypeStruct((BK, 1, dim), jnp.float32),
     )
 
+    daa_mm = _DAA_MODE == "mm"
     kernel = functools.partial(
         _bwd_kernel, N=N, delta_softplus=delta_softplus,
-        has_D=has_D, has_bias=has_bias, lowrank=lowrank,
+        has_D=has_D, has_bias=has_bias, lowrank=lowrank, daa_mm=daa_mm,
     )
+    scratch = [pltpu.VMEM((T, 1, flat), jnp.float32)]
+    if daa_mm:
+        scratch.append(pltpu.VMEM((T, flat, cfg.d_blk), jnp.bfloat16))
     zeros = jnp.zeros((BK, 1, dim), jnp.float32)
     du, ddt, dW_p, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
         kernel,
@@ -1337,7 +1403,7 @@ def _bwd_pallas(res, dy, *, delta_softplus, cfg, interpret):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((T, 1, flat), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -127,3 +127,34 @@ def test_ln_gate_activation_fused(gate_act):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=f"gate_act={gate_act} grad mismatch {name}")
+
+
+def test_ln_spatial_mean_fwd_and_grads():
+    """ln_spatial_mean == mean over positions of LayerNorm(x), fwd and all
+    grads (BiAttn's fused stats path)."""
+    from fusionmamba_tpu.ops.ln_pallas import ln_spatial_mean
+
+    rng = np.random.default_rng(4)
+    B, H, W, C = 2, 8, 4, 96
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, C)), jnp.float32)
+
+    def loss_fused(x, scale, bias):
+        return jnp.sum(ln_spatial_mean(x, scale, bias, eps=1e-5,
+                                       interpret=True) * w)
+
+    def loss_ref(x, scale, bias):
+        y = _flax_ln(x, scale, bias, eps=1e-5)
+        return jnp.sum(jnp.mean(y, axis=(1, 2)) * w)
+
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(
+        x, scale, bias)
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        x, scale, bias)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+    for name, a, b in zip(["dx", "dscale", "dbias"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"ln_spatial_mean grad mismatch {name}")

@@ -428,3 +428,41 @@ def test_lowrank_dt_compiled_matches_materialized():
         np.testing.assert_allclose(
             np.asarray(gl) / sc, np.asarray(gm) / sc, rtol=2e-3, atol=2e-3,
             err_msg=f"compiled lowrank grad mismatch {name}")
+
+
+def test_daa_mm_backward_variant(monkeypatch):
+    """FM_SCAN_DAA=mm (hoisted block-diag daaA dot): gradients match the
+    oracle at the bf16-dot tolerance (active only under the grad_mm
+    policy; exact mode falls back to the loop)."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    # doubling: exact scan for these arbitrary-magnitude inputs (the
+    # cumsum family would saturate its rescale clip here); the only
+    # approximation under test is the daaA bf16 dot itself
+    monkeypatch.setattr(sp, "_SCAN_ALGO", "doubling")
+    monkeypatch.setattr(sp, "_GRAD_MM_MODE", "default")
+    monkeypatch.setattr(sp, "_DAA_MODE", "mm")
+    rng = np.random.default_rng(11)
+    u, delta, A, B, C, D, bias = make_inputs(
+        rng, batch=1, K=2, L=32, dim=8, N=4)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+
+    def loss_with(impl_fn):
+        def loss(*a):
+            out = impl_fn(*a, delta_softplus=True)
+            w = jnp.sin(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+                out.shape)
+            return jnp.sum(out * w)
+        return loss
+
+    g_ref = jax.grad(loss_with(selective_scan_ref),
+                     argnums=tuple(range(7)))(*args)
+    g_got = jax.grad(loss_with(
+        lambda *a, **k: selective_scan_pallas(*a, interpret=True, **k)),
+        argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(
+            ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"],
+            g_got, g_ref):
+        sc = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / sc, np.asarray(b) / sc, rtol=3e-2, atol=5e-3,
+            err_msg=f"daa_mm grad mismatch {name}")

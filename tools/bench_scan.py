@@ -98,7 +98,9 @@ def main():
         return
     if args.chained:
         main_chained(impl=args.impl, bwd=args.bwd,
-                     stages=STAGES[:args.stages], lowrank=args.lowrank)
+                     stages=STAGES[:args.stages],
+                     lowrank=args.lowrank or
+                     os.environ.get("FM_BENCH_LOWRANK") == "1")
         return
 
     for L, D in STAGES:
