@@ -218,6 +218,9 @@ _ln_core.defvjp(_ln_core_fwd, _ln_core_bwd)
 # ----------------------------------------------------------------------------
 
 def _lnm_fwd_kernel(x_ref, s_ref, b_ref, o_ref, *, eps, inv_rows):
+    # o_ref block is (1, 8, C): row 0 carries the result, rows 1-7 are
+    # sublane padding (Pallas requires the trailing-two block dims be
+    # (8k, 128m) or equal to the array dims -- a (1, C) block is neither)
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -227,7 +230,7 @@ def _lnm_fwd_kernel(x_ref, s_ref, b_ref, o_ref, *, eps, inv_rows):
     x = x_ref[:].astype(jnp.float32)            # (1, R_BLK, C)
     mu, rs = _stats(x, eps)
     y = (x - mu) * rs * s_ref[:] + b_ref[:]
-    o_ref[:] += jnp.sum(y, axis=-2) * inv_rows  # (1, C)
+    o_ref[:, 0] += jnp.sum(y, axis=-2) * inv_rows  # (1, C)
 
 
 def _lnm_bwd_kernel(x_ref, s_ref, w_ref, dx_ref, xs_ref, *, eps):
@@ -245,7 +248,7 @@ def _lnm_bwd_kernel(x_ref, s_ref, w_ref, dx_ref, xs_ref, *, eps):
     w = w_ref[:]                                # (1, 1, C) fp32
     mu, rs = _stats(x, eps)
     xhat = (x - mu) * rs
-    xs_ref[:] += jnp.sum(xhat, axis=-2)
+    xs_ref[:, 0] += jnp.sum(xhat, axis=-2)
     m1 = jnp.mean(w, axis=-1, keepdims=True)    # scalar per batch row
     m2 = jnp.mean(w * xhat, axis=-1, keepdims=True)
     dx_ref[:] = (rs * (w - m1 - xhat * m2)).astype(dx_ref.dtype)
@@ -256,7 +259,9 @@ def _lnm_specs(B, rows, C, r_blk):
                           memory_space=pltpu.VMEM)
     par_spec = pl.BlockSpec((1, C), lambda b, r: (0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, C), lambda b, r: (b, 0),
+    # (B, 8, C) array with row 0 live: a (1, C) block fails the
+    # (8k, 128m)-or-equal trailing-dims rule
+    out_spec = pl.BlockSpec((1, 8, C), lambda b, r: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     return x_spec, par_spec, out_spec
 
@@ -266,17 +271,18 @@ def _lnm_core(x3, scale, bias, eps, interpret):
     B, rows, C = x3.shape
     r_blk = _pick_rows(rows, C)
     x_spec, par_spec, out_spec = _lnm_specs(B, rows, C, r_blk)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_lnm_fwd_kernel, eps=eps, inv_rows=1.0 / rows),
         grid=(B, rows // r_blk),
         in_specs=[x_spec, par_spec, par_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x3, scale.reshape(1, C).astype(jnp.float32),
       bias.reshape(1, C).astype(jnp.float32))
+    return out[:, 0]
 
 
 def _lnm_fwd(x3, scale, bias, eps, interpret):
@@ -298,11 +304,12 @@ def _lnm_bwd(eps, interpret, res, dm):
         in_specs=[x_spec, par_spec, w_spec],
         out_specs=(x_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, rows, C), x3.dtype),
-                   jax.ShapeDtypeStruct((B, C), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, 8, C), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x3, scale.reshape(1, C).astype(jnp.float32), w[:, None, :])
+    xhat_sum = xhat_sum[:, 0]
     dscale = jnp.sum(dm.astype(jnp.float32) * xhat_sum, axis=0) / rows
     dbias = jnp.sum(dm.astype(jnp.float32), axis=0)
     return (dx, dscale.astype(scale.dtype),

@@ -101,3 +101,23 @@ def test_dwconv_silu_epilogue_fwd_and_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4,
             err_msg=f"dwconv silu grad mismatch {name}")
+
+
+@pytest.mark.tpu
+def test_compiled_dwconv_silu_on_tpu():
+    """COMPILED smoke for the act="silu" epilogue + merged backward."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 128)), jnp.bfloat16)
+    w = jnp.asarray(0.3 * rng.standard_normal((3, 3, 128)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(128), jnp.float32)
+
+    def f(x, w, b):
+        return jnp.sum(depthwise_conv3x3(
+            x, w, b, impl="pallas", act="silu").astype(jnp.float32))
+
+    v, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(x, w, b)
+    want = jnp.sum(jax.nn.silu(_xla_dwconv(
+        x.astype(jnp.float32), w, b)))
+    np.testing.assert_allclose(float(v), float(want), rtol=2e-2)
+    assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all())
+               for g in grads)

@@ -158,3 +158,40 @@ def test_ln_spatial_mean_fwd_and_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=f"ln_spatial_mean grad mismatch {name}")
+
+
+@pytest.mark.tpu
+def test_compiled_fused_ln_variants_on_tpu():
+    """COMPILED smoke for the r4 LN-kernel additions (gate_act fusion and
+    ln_spatial_mean): Pallas block-shape legality is only checked by a real
+    TPU lowering -- interpret mode accepted a (1, C) output block that the
+    compiler rejects (caught by the r4 trajectory run)."""
+    from fusionmamba_tpu.ops.ln_pallas import ln_spatial_mean, _lnm_ref
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 4, 16, 16, 96
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    gate = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+
+    for gate_act in ("silu", "silu_sum"):
+        def f(x, gate, ga=gate_act):
+            return jnp.sum(layer_norm_fused(
+                x, scale, bias, gate, eps=1e-5, gate_act=ga,
+                impl="pallas").astype(jnp.float32))
+        v, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(x, gate)
+        want = jnp.sum(layer_norm_fused(
+            x, scale, bias, gate, eps=1e-5, gate_act=gate_act,
+            impl="xla").astype(jnp.float32))
+        np.testing.assert_allclose(float(v), float(want), rtol=2e-2)
+        assert all(bool(jnp.isfinite(g.astype(jnp.float32)).all())
+                   for g in grads)
+
+    def m(x):
+        return jnp.sum(ln_spatial_mean(x, scale, bias, eps=1e-5,
+                                       impl="pallas"))
+    v, g = jax.jit(jax.value_and_grad(m))(x)
+    want = jnp.sum(_lnm_ref(x.reshape(B, H * W, C), scale, bias, 1e-5))
+    np.testing.assert_allclose(float(v), float(want), rtol=2e-2)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())

@@ -89,7 +89,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=12)
-    ap.add_argument("--out", default="/tmp/fm-trajectory")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_artifacts", "trajectory"))
     ap.add_argument("--cpu", action="store_true",
                     help="validation tier: pin the CPU backend + tiny config")
     ap.add_argument("--arm", default=None, help=argparse.SUPPRESS)
@@ -101,8 +103,9 @@ def main():
         return
 
     for name, (env, precision) in ARMS.items():
-        full = dict(os.environ,
-                    JAX_COMPILATION_CACHE_DIR="/tmp/jaxcache", **env)
+        full = dict(os.environ, **env)
+        full.setdefault("JAX_COMPILATION_CACHE_DIR",
+                        "/root/.cache/jax_comp")
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--arm", name,
              "--precision", precision, "--steps", str(args.steps),
