@@ -17,8 +17,10 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # The bench runs the LIBRARY DEFAULTS (scan_pallas.py: cumsum_mm / Q=32 /
-# MM_PREC=default / GRAD_MM=default) -- no bench-only env overrides, so the
-# recorded number is exactly what `train.py` users get.
+# MM_PREC=default / GRAD_MM=default) -- no bench-only env overrides. One
+# deliberate difference from the train.py CLI: the saturation-margin guard
+# (train.py default ON, ~1-2% of a step) is off here, matching
+# `--no_scan_guard`; set FM_BENCH_GUARD=1 to include it.
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +76,9 @@ def main():
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=make_fusion_optimizer(1e-4))
-    step = make_fusion_train_step(model, compute_dtype=compute_dtype)
+    step = make_fusion_train_step(
+        model, compute_dtype=compute_dtype,
+        scan_guard=os.environ.get("FM_BENCH_GUARD") == "1")
 
     # Async chained dispatch: launch all steps back-to-back WITHOUT a
     # per-step sync, then fetch one metric value at the end. The donated

@@ -51,7 +51,8 @@ class FusionModelConfig:
     def __post_init__(self):
         # "bypass" is a timing-ablation stub in ops/selective_scan.py, NOT a
         # model: it must be unreachable from a model config
-        allowed = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "sp")
+        allowed = ("auto", "auto_exact", "ref", "assoc", "pallas",
+                   "pallas_exact", "pallas_interpret", "sp")
         if self.scan_impl not in allowed:
             raise ValueError(
                 f"scan_impl must be one of {allowed}, got {self.scan_impl!r}")

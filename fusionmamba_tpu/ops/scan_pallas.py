@@ -44,6 +44,7 @@ complex-A capability is intentionally out of scope here (see PARITY.md row 1).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import NamedTuple
@@ -184,8 +185,11 @@ _NLOOP_MODE = os.environ.get("FM_SCAN_NLOOP", "loop")
 # (bk, d) grid pair into VMEM scratch (bf16, ~2^-8 rounding on the dA/ddt
 # A-term, same class as the shipped GRAD_MM default) and reused across
 # l-chunks; replaces the loop's 2N d_blk-wide fma passes with one dot.
-# Unlike NLOOP=mm (rejected: rebuilt lane-broadcast expansions per cell)
-# the expansion cost here is hoisted out of the l loop.
+# MEASURED (r4 sweep, bench_artifacts/r4): LOSES +6..21% on every stage --
+# the daa bf16 cast + M-scratch traffic + dot latency cost more than the
+# fma passes saved, the same failure mode as NLOOP=mm/EXPAND=mm even with
+# the expansion hoisted out of the l loop. Default stays "loop"; the knob
+# remains for other-hardware experiments.
 _DAA_MODE = os.environ.get("FM_SCAN_DAA", "loop")
 
 # fused build x rescale for the cumsum algorithms: build the PRE-SCALED scan
@@ -231,6 +235,22 @@ def _take_row(x4: jax.Array, row: int) -> jax.Array:
 
 #: public alias of the rescale clip for guard/reporting code
 SATURATION_CLIP = _CLIP
+
+
+@contextlib.contextmanager
+def force_scan_algo(algo: str):
+    """Trace-time override of the intra-chunk algorithm (kernel structure
+    is decided while tracing, so wrapping a pallas call's TRACE in this
+    context pins its algorithm). Used by `selective_scan(impl=
+    "pallas_exact")` -- the saturation-guard auto-fallback path -- to force
+    the magnitude-exact "doubling" scan regardless of FM_SCAN_ALGO."""
+    global _SCAN_ALGO
+    prev = _SCAN_ALGO
+    _SCAN_ALGO = algo
+    try:
+        yield
+    finally:
+        _SCAN_ALGO = prev
 
 
 def saturation_margin(delta: jax.Array, A: jax.Array,
@@ -1452,32 +1472,41 @@ def _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow=None):
     return u_f, dt_f, Wt_bk, At_bk, B_f, C_f, Dp_bk, bias_bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _scan_pallas_core(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
-                      delta_softplus, interpret):
+                      delta_softplus, interpret, algo):
     out, _ = _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
-                       delta_softplus, interpret)
+                       delta_softplus, interpret, algo)
     return out
 
 
+def _algo_ctx(algo):
+    """Static per-call algorithm override (None = module default). Applied
+    around BOTH kernel constructions -- the backward is traced lazily, so
+    a caller-side context would cover only the forward."""
+    return force_scan_algo(algo) if algo else contextlib.nullcontext()
+
+
 def _core_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow, delta_softplus,
-              interpret):
+              interpret, algo):
     B, K, L, dim = u.shape
     N = A.shape[-1]
-    cfg = _pick_blocks(L, dim, B * K, N)
-    folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow)
-    out, hsave = _fwd_pallas(*folded, delta_softplus, cfg, interpret)
+    with _algo_ctx(algo):
+        cfg = _pick_blocks(L, dim, B * K, N)
+        folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow)
+        out, hsave = _fwd_pallas(*folded, delta_softplus, cfg, interpret)
     return out.reshape(B, K, L, dim), (folded, hsave, (B, K, L, dim))
 
 
-def _core_bwd(delta_softplus, interpret, res, dy):
+def _core_bwd(delta_softplus, interpret, algo, res, dy):
     folded, hsave, (B, K, L, dim) = res
     lowrank = folded[2] is not None
     N = folded[3].shape[1]
-    cfg = _pick_blocks(L, dim, B * K, N)
-    du, ddt, dW_p, dA_p, dB, dC, dD_p, dbias_p = _bwd_pallas(
-        folded + (hsave,), dy.reshape(B * K, L, dim),
-        delta_softplus=delta_softplus, cfg=cfg, interpret=interpret)
+    with _algo_ctx(algo):
+        cfg = _pick_blocks(L, dim, B * K, N)
+        du, ddt, dW_p, dA_p, dB, dC, dD_p, dbias_p = _bwd_pallas(
+            folded + (hsave,), dy.reshape(B * K, L, dim),
+            delta_softplus=delta_softplus, cfg=cfg, interpret=interpret)
     has_D = folded[6] is not None
     has_bias = folded[7] is not None
     du = du.reshape(B, K, L, dim)
@@ -1515,13 +1544,18 @@ def selective_scan_pallas(
     return_last_state: bool = False,
     interpret: bool = False,
     dt_lowrank_weight: jax.Array | None = None,
+    algo: str | None = None,
 ):
     """dt_lowrank_weight (K, dim, R): when given, `delta` is the LOW-RANK
     (B, K, L, R) dt_proj input and the expansion delta = dtr @ W^T runs
     INSIDE the kernel on the MXU (prologue fusion a la MambaInnerFn,
     `selective_scan_interface.py:161-358`) -- the (B, K, L, dim) dt tensor
     never exists in HBM in either direction; the backward emits low-rank
-    d_dtr and the dW_dt gradient directly."""
+    d_dtr and the dW_dt gradient directly.
+
+    algo: per-call intra-chunk algorithm override (None = FM_SCAN_ALGO
+    module default); "doubling" is the magnitude-exact tier the saturation
+    auto-fallback selects."""
     if return_last_state:
         raise NotImplementedError(
             "return_last_state is served by the ref/assoc implementations")
@@ -1537,6 +1571,6 @@ def selective_scan_pallas(
         None if D is None else D.astype(jnp.float32),
         None if delta_bias is None else delta_bias.astype(jnp.float32),
         dt_lowrank_weight,
-        delta_softplus, interpret,
+        delta_softplus, interpret, algo,
     )
     return out.astype(in_dtype)

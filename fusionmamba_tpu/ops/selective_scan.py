@@ -28,8 +28,8 @@ from .scan_assoc import selective_scan_assoc
 from .scan_pallas import selective_scan_pallas
 from .scan_ref import selective_scan_ref
 
-_IMPLS = ("auto", "ref", "assoc", "pallas", "pallas_interpret", "sp",
-          "bypass")
+_IMPLS = ("auto", "auto_exact", "ref", "assoc", "pallas", "pallas_exact",
+          "pallas_interpret", "sp", "bypass")
 
 
 def _materialize_dt(delta, dt_lowrank_weight):
@@ -42,7 +42,8 @@ def _materialize_dt(delta, dt_lowrank_weight):
 
 
 def _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-                   return_last_state, dt_lowrank_weight=None):
+                   return_last_state, dt_lowrank_weight=None,
+                   algo=None):
     """Route per *lowering platform*, not per default backend: under the
     axon tunnel jax.default_backend() is always 'tpu' even when the
     computation targets a virtual CPU mesh (multichip dryrun), so the
@@ -58,7 +59,7 @@ def _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
     return jax.lax.platform_dependent(
         tpu=lambda: selective_scan_pallas(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus, False,
-            dt_lowrank_weight=dt_lowrank_weight),
+            dt_lowrank_weight=dt_lowrank_weight, algo=algo),
         default=lambda: selective_scan_assoc(
             u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
             delta_bias, delta_softplus, False),
@@ -100,6 +101,13 @@ def selective_scan(
         return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
                               delta_softplus, return_last_state,
                               dt_lowrank_weight)
+    if impl == "auto_exact":
+        # like "auto" but magnitude-exact on every platform: doubling-scan
+        # pallas on TPU, associative_scan elsewhere (both exact for any
+        # input magnitudes). The saturation-guard auto-fallback target.
+        return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
+                              delta_softplus, return_last_state,
+                              dt_lowrank_weight, algo="doubling")
     if impl == "ref":
         return selective_scan_ref(
             u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,
@@ -126,6 +134,15 @@ def selective_scan(
             N = A.shape[-1]
             return out, jnp.zeros(u.shape[:2] + (u.shape[3], N), u.dtype)
         return out
+    if impl == "pallas_exact":
+        # magnitude-exact tier: the pure-VPU doubling scan (~9% slower at
+        # step level than the cumsum_mm default) -- the auto-fallback
+        # target when training drifts past the saturation envelope
+        # (scan_guard margin >= SATURATION_CLIP; see train.py)
+        return selective_scan_pallas(
+            u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+            return_last_state, dt_lowrank_weight=dt_lowrank_weight,
+            algo="doubling")
     if impl == "pallas_interpret":
         return selective_scan_pallas(
             u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,

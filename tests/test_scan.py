@@ -466,3 +466,57 @@ def test_daa_mm_backward_variant(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a) / sc, np.asarray(b) / sc, rtol=3e-2, atol=5e-3,
             err_msg=f"daa_mm grad mismatch {name}")
+
+
+def test_pallas_exact_impl_overrides_saturating_default(monkeypatch):
+    """impl="pallas_exact"/"auto_exact": per-call doubling override stays
+    exact on inputs far OUTSIDE the cumsum rescale envelope (the
+    saturation-guard auto-fallback path), fwd and grads, while the module
+    default is left at the shipped cumsum_mm."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    from fusionmamba_tpu.ops.selective_scan import selective_scan
+    monkeypatch.setattr(sp, "_SCAN_ALGO", "cumsum_mm")
+
+    rng = np.random.default_rng(13)
+    batch, K, L, dim, N = 1, 1, 32, 8, 4
+    u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+    # drifted regime: dt ~ 8 >> the +-60/32-row envelope (margin ~ 4000)
+    delta = (8.0 + rng.standard_normal((batch, K, L, dim))).astype(
+        np.float32)
+    A = -np.exp(rng.uniform(0.5, 1.5, (K, dim, N))).astype(np.float32)
+    B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    D = rng.standard_normal((K, dim)).astype(np.float32)
+    bias = rng.standard_normal((K, dim)).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+
+    from fusionmamba_tpu.ops.scan_pallas import saturation_margin
+    assert float(saturation_margin(args[1], args[2], args[6])) > 100.0
+
+    got = selective_scan_pallas(*args, delta_softplus=True, interpret=True,
+                                algo="doubling")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4, atol=2e-3)
+
+    # the public dispatch routes auto_exact's CPU lowering through assoc
+    got2 = selective_scan(*args, delta_softplus=True, impl="auto_exact")
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=6e-4,
+                               atol=2e-3)
+
+    def loss(*a):
+        out = selective_scan_pallas(*a, delta_softplus=True,
+                                    interpret=True, algo="doubling")
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    def loss_ref(*a):
+        out = selective_scan_ref(*a, delta_softplus=True)
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(["du", "ddelta", "dA"], g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=f"pallas_exact grad mismatch {name}")
