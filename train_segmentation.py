@@ -53,6 +53,13 @@ def parse_args():
                          "see ops/scan_guard.py). Costs ~1-2%% of a step")
     ap.add_argument("--no_scan_guard", dest="scan_guard",
                     action="store_false")
+    ap.add_argument("--auto_exact", dest="auto_exact", action="store_true",
+                    default=True,
+                    help="rebuild the step on the magnitude-exact scan "
+                         "tier (one recompile) if the saturation margin "
+                         "crosses the cumsum rescale clip (see train.py)")
+    ap.add_argument("--no_auto_exact", dest="auto_exact",
+                    action="store_false")
     return ap.parse_args()
 
 
@@ -186,14 +193,33 @@ def main():
                     + " ".join(f"{k}:{float(v):.4f}"
                                for k, v in metrics.items()))
                 margin = float(metrics.get("scan_sat_margin", 0.0))
-                if margin >= 0.9 * 60.0:
+                if margin >= 0.9 * 60.0 and cfg.scan_impl != "auto_exact":
                     from fusionmamba_tpu.ops.scan_guard import SATURATION_CLIP
-                    sev = ("EXCEEDS" if margin >= SATURATION_CLIP
-                           else "is within 10% of")
-                    logger.warning(
-                        f"scan saturation margin {margin:.1f} {sev} the "
-                        f"cumsum rescale clip ({SATURATION_CLIP}); set "
-                        "FM_SCAN_ALGO=doubling (exact for any magnitude)")
+                    if (margin >= SATURATION_CLIP and args.auto_exact
+                            and cfg.scan_impl == "auto"):
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} >= clip "
+                            f"({SATURATION_CLIP}); switching to the exact "
+                            "scan tier (impl=auto_exact, one recompile)")
+                        import dataclasses as _dc
+                        cfg = _dc.replace(cfg, scan_impl="auto_exact")
+                        model = VSSMFusionSeg(cfg)
+                        train_step = make_seg_train_step(
+                            model, num_classes, mode=args.mode,
+                            fusion_weight=args.fusion_weight,
+                            seg_weight=args.seg_weight,
+                            class_weights=class_weights, improved=improved,
+                            compute_dtype=resolve_compute_dtype(
+                                args.precision),
+                            scan_guard=args.scan_guard)
+                    else:
+                        sev = ("EXCEEDS" if margin >= SATURATION_CLIP
+                               else "is within 10% of")
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} {sev} "
+                            f"the cumsum rescale clip ({SATURATION_CLIP}); "
+                            "set FM_SCAN_ALGO=doubling (exact for any "
+                            "magnitude)")
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
         ckpt = os.path.join(os.path.abspath(args.ckpt_dir),
