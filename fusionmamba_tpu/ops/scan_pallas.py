@@ -837,14 +837,20 @@ def _delta_raw_from_refs(dt_ref, Wt_ref, lowrank: bool) -> jax.Array:
         return dt_ref[:].astype(jnp.float32)
     dtr = dt_ref[:]                            # (T, L_CHUNK, R)
     Wt = Wt_ref[:]                             # (T, R, D_BLK)
-    if dtr.dtype != Wt.dtype:                  # dot needs matching dtypes
-        dtr = dtr.astype(jnp.float32)
-        Wt = Wt.astype(jnp.float32)
     # bf16 inputs take one MXU pass with fp32 accumulation -- numerically
     # identical to the XLA einsum this fusion replaces (bf16 operands under
-    # mixed precision); fp32 inputs follow the default f32 dot
+    # mixed precision). fp32 inputs use HIGHEST (true-fp32 multi-pass):
+    # Mosaic's DEFAULT f32 dot is bf16-grade, a silent precision regression
+    # vs the einsum for fp32 workflows, and these dots are tiny (K = R
+    # <= 48) so the extra passes are noise.
+    prec = jax.lax.Precision.DEFAULT
+    if dtr.dtype != Wt.dtype or dtr.dtype == jnp.float32:
+        dtr = dtr.astype(jnp.float32)
+        Wt = Wt.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
     return jnp.stack([
-        jax.lax.dot(dtr[t], Wt[t], preferred_element_type=jnp.float32)
+        jax.lax.dot(dtr[t], Wt[t], precision=prec,
+                    preferred_element_type=jnp.float32)
         for t in range(dtr.shape[0])])
 
 
@@ -1290,18 +1296,23 @@ def _bwd_kernel(
     if lowrank:
         # chain ddelta back through the in-kernel dt expansion: the full
         # (B, K, L, D) ddelta never reaches HBM -- only the low-rank
-        # d_dtr per-d-block partials and the dW accumulator do
+        # d_dtr per-d-block partials and the dW accumulator do. fp32
+        # workflows (ddt output dtype f32) get true-fp32 dots; the bf16
+        # operating point keeps the single-pass default (its partials are
+        # cast to bf16 on write anyway).
+        bprec = (jax.lax.Precision.HIGHEST if ddt_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
         Wt = Wt_ref[:].astype(jnp.float32)     # (T, R, D_BLK)
         dtr = dt_ref[:].astype(jnp.float32)    # (T, L_CHUNK, R)
         ddtr = jnp.stack([
             jax.lax.dot_general(
                 ddelta[t], Wt[t], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                precision=bprec, preferred_element_type=jnp.float32)
             for t in range(ddelta.shape[0])])  # (T, L_CHUNK, R)
         dWp = jnp.stack([
             jax.lax.dot_general(
                 ddelta[t], dtr[t], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                precision=bprec, preferred_element_type=jnp.float32)
             for t in range(ddelta.shape[0])])  # (T, D_BLK, R)
         ddt_ref[:, 0] = ddtr.astype(ddt_ref.dtype)
         dW_ref[:] += dWp

@@ -103,12 +103,17 @@ def grad_pair(request):
     return request.param, model, params, want, float(total.detach()), x, y
 
 
-def _compare(want, got, rtol, atol_norm):
-    """Per-leaf relative 2-norm error gate; returns the worst (err, path)."""
+def _compare(want, got, rtol, atol_norm, pct90=None):
+    """Per-leaf relative 2-norm error gate; returns the worst (err, path).
+
+    pct90: optional additional gate on the 90th-percentile leaf error --
+    used by the mixed-precision device tier so its looser per-leaf max
+    cannot hide a systematic error across many leaves."""
     flat_w = jax.tree_util.tree_leaves_with_path(want)
     flat_g = jax.tree_util.tree_leaves_with_path(got)
     assert len(flat_w) == len(flat_g)
     worst = (0.0, "<none>")
+    errs = []
     for (pw, lw), (pg, lg) in zip(
             sorted(flat_w, key=lambda t: str(t[0])),
             sorted(flat_g, key=lambda t: str(t[0]))):
@@ -117,10 +122,14 @@ def _compare(want, got, rtol, atol_norm):
         lg = np.asarray(lg, np.float64)
         denom = np.linalg.norm(lw) + atol_norm
         err = np.linalg.norm(lw - lg) / denom
+        errs.append(err)
         if err > worst[0]:
             worst = (err, str(pw))
         assert err < rtol, (str(pw), err, float(np.abs(lw).max()),
                             float(np.abs(lg).max()))
+    if pct90 is not None:
+        p90 = float(np.percentile(errs, 90))
+        assert p90 < pct90, ("90th-pct leaf grad error", p90)
     return worst
 
 
@@ -158,7 +167,20 @@ def test_full_model_grads_pallas_on_device(grad_pair):
     from fusionmamba_tpu.models import VSSMFusion
     tpu_model = VSSMFusion(cfg)
     loss_fn = _jax_loss_fn(tpu_model, x, y)
-    grads = jax.jit(jax.grad(loss_fn))(params)
-    grads = jax.device_get(grads)
-    worst = _compare(want, grads, rtol=5e-2, atol_norm=1e-10)
+    # float32 matmul precision: at the TPU DEFAULT, XLA computes every f32
+    # dot at bf16-grade and unlucky small leaves (cross-block LN bias, LDC
+    # masks) land 8..50% off torch REGARDLESS of scan impl (measured:
+    # assoc and pallas deviate identically) -- that would make this a test
+    # of XLA's dot policy, not of the Pallas path it exists to gate.
+    # Pinning f32 leaves only the kernels' own documented envelope (the
+    # GRAD_MM bf16 dots inside the scan backward are explicit and exempt
+    # from the precision config).
+    with jax.default_matmul_precision("float32"):
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        grads = jax.device_get(grads)
+    # absolute norm floor 1e-3: leaves whose whole gradient norm is ~1e-4
+    # (numerically zero against a loss of O(30)) otherwise turn rounding
+    # noise into meaningless relative error. pct90 keeps the distribution
+    # honest.
+    worst = _compare(want, grads, rtol=5e-2, atol_norm=1e-3, pct90=2e-2)
     print(f"worst on-device grad leaf rel err {worst[0]:.2e} at {worst[1]}")
