@@ -61,16 +61,20 @@ class PatchMerging(nn.Module):
     """2x2 space-to-depth + LN(4C) + Linear(4C -> 2C, no bias).
 
     Concat order matches the reference slices (h even/w even, h odd/w even,
-    h even/w odd, h odd/w odd -- `vmamba_Fusion_efficross.py:200-211`)."""
+    h even/w odd, h odd/w odd -- `vmamba_Fusion_efficross.py:200-211`),
+    expressed as ONE reshape/transpose (channel group order (wp, hp)) so
+    XLA lowers a single relayout instead of four strided gathers + a
+    concatenate; bit-identical to the slice form (tests)."""
     dim: int
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C); H, W assumed even
-        x0 = x[:, 0::2, 0::2, :]
-        x1 = x[:, 1::2, 0::2, :]
-        x2 = x[:, 0::2, 1::2, :]
-        x3 = x[:, 1::2, 1::2, :]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        # (B, H2, hp, W2, wp, C) -> (B, H2, W2, wp, hp, C): flattening
+        # (wp, hp) yields groups (0,0),(0,1),(1,0),(1,1) = the reference's
+        # x0 (he,we), x1 (ho,we), x2 (he,wo), x3 (ho,wo) concat order
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B, H // 2, W // 2, 4 * C)
         x = FusedLayerNorm(epsilon=_EPS, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False,
                      kernel_init=trunc_normal(0.02), name="reduction")(x)
