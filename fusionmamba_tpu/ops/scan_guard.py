@@ -65,11 +65,38 @@ def reduce_margins(margins: List[jax.Array]) -> jax.Array:
     return jnp.max(jnp.stack(margins))
 
 
+def saturation_action(margin: float, scan_impl: str,
+                      auto_exact: bool) -> Optional[str]:
+    """Decision table for a logged saturation margin (shared by the
+    training CLIs; unit-tested so the two loops cannot drift):
+
+      "switch"      -- rebuild the step on impl="auto_exact" (margin
+                       crossed the clip, auto-fallback armed, and the
+                       model is on the switchable "auto" impl)
+      "warn_exceed" -- margin crossed the clip but no auto-switch applies
+                       (explicit impl or --no_auto_exact): tell the user
+                       to restart on an exact algorithm
+      "warn_near"   -- within 10% of the clip
+      None          -- nothing to do (incl. already on the exact tier,
+                       where the margin is moot)
+    """
+    if scan_impl == "auto_exact":
+        return None
+    if margin >= SATURATION_CLIP:
+        if auto_exact and scan_impl == "auto":
+            return "switch"
+        return "warn_exceed"
+    if margin >= 0.9 * SATURATION_CLIP:
+        return "warn_near"
+    return None
+
+
 __all__ = [
     "SATURATION_CLIP",
     "collect_saturation_margins",
     "is_collecting",
     "maybe_record",
     "reduce_margins",
+    "saturation_action",
     "saturation_margin",
 ]

@@ -124,3 +124,24 @@ def test_train_step_emits_margin_metric():
     step2 = make_fusion_train_step(model, scan_guard=False)
     _, metrics2 = step2(state, x1, x2, jax.random.PRNGKey(1))
     assert "scan_sat_margin" not in metrics2
+
+
+def test_saturation_action_decision_table():
+    """The CLIs' shared margin-response policy (ops/scan_guard.py)."""
+    from fusionmamba_tpu.ops.scan_guard import (SATURATION_CLIP,
+                                                saturation_action)
+    clip = SATURATION_CLIP
+    # below everything: silent
+    assert saturation_action(1.0, "auto", True) is None
+    # near the clip: warn
+    assert saturation_action(0.95 * clip, "auto", True) == "warn_near"
+    # over the clip on the switchable impl with auto_exact: switch
+    assert saturation_action(clip, "auto", True) == "switch"
+    assert saturation_action(10 * clip, "auto", True) == "switch"
+    # over the clip but auto_exact opted out: warn loudly
+    assert saturation_action(2 * clip, "auto", False) == "warn_exceed"
+    # explicit (non-"auto") impls are never silently rebuilt
+    assert saturation_action(2 * clip, "pallas", True) == "warn_exceed"
+    # already on the exact tier: margin is moot, stay quiet
+    assert saturation_action(100 * clip, "auto_exact", True) is None
+    assert saturation_action(0.95 * clip, "auto_exact", True) is None

@@ -184,39 +184,36 @@ def train_fusion(args, dataset_name: str, logger):
                 st = ed
                 if "scan_sat_margin" in metrics:
                     margin = float(metrics["scan_sat_margin"])
-                    from fusionmamba_tpu.ops.scan_guard import SATURATION_CLIP
-                    if margin >= SATURATION_CLIP:
-                        if cfg.scan_impl == "auto_exact":
-                            pass  # already on the exact tier: margin moot
-                        elif args.auto_exact and cfg.scan_impl == "auto":
-                            # one-time fallback to the magnitude-exact scan
-                            # tier: same math, ~9% slower step, never
-                            # saturates (VERDICT r3 #4 auto-switch; the
-                            # 200-step trajectory evidence shows the margin
-                            # drifting 59 -> 5800 under training)
-                            logger.warning(
-                                f"scan saturation margin {margin:.1f} >= "
-                                f"clip ({SATURATION_CLIP}); switching to "
-                                "the exact scan tier (impl=auto_exact, one "
-                                "recompile)")
-                            import dataclasses as _dc
-                            cfg = _dc.replace(cfg, scan_impl="auto_exact")
-                            model = VSSMFusion(cfg)
-                            train_step = make_fusion_train_step(
-                                model,
-                                compute_dtype=resolve_compute_dtype(
-                                    args.precision),
-                                scan_guard=args.scan_guard)
-                        else:
-                            logger.warning(
-                                f"scan saturation margin {margin:.1f} "
-                                f"EXCEEDS the cumsum rescale clip "
-                                f"({SATURATION_CLIP}): the default scan is "
-                                "saturating decay weights; set "
-                                "FM_SCAN_ALGO=doubling (exact for any "
-                                "magnitude) and restart")
-                    elif (margin >= 0.9 * SATURATION_CLIP
-                          and cfg.scan_impl != "auto_exact"):
+                    from fusionmamba_tpu.ops.scan_guard import (
+                        SATURATION_CLIP, saturation_action)
+                    act = saturation_action(margin, cfg.scan_impl,
+                                            args.auto_exact)
+                    if act == "switch":
+                        # one-time fallback to the magnitude-exact scan
+                        # tier: same math, ~9% slower step, never saturates
+                        # (VERDICT r3 #4 auto-switch; the 200-step
+                        # trajectory evidence shows the margin drifting
+                        # 59 -> 5800 under training)
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} >= clip "
+                            f"({SATURATION_CLIP}); switching to the exact "
+                            "scan tier (impl=auto_exact, one recompile)")
+                        import dataclasses as _dc
+                        cfg = _dc.replace(cfg, scan_impl="auto_exact")
+                        model = VSSMFusion(cfg)
+                        train_step = make_fusion_train_step(
+                            model,
+                            compute_dtype=resolve_compute_dtype(
+                                args.precision),
+                            scan_guard=args.scan_guard)
+                    elif act == "warn_exceed":
+                        logger.warning(
+                            f"scan saturation margin {margin:.1f} EXCEEDS "
+                            f"the cumsum rescale clip ({SATURATION_CLIP}): "
+                            "the default scan is saturating decay weights; "
+                            "set FM_SCAN_ALGO=doubling (exact for any "
+                            "magnitude) and restart")
+                    elif act == "warn_near":
                         logger.warning(
                             f"scan saturation margin {margin:.1f} is within "
                             f"10% of the clip ({SATURATION_CLIP}); the "

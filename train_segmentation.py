@@ -193,33 +193,34 @@ def main():
                     + " ".join(f"{k}:{float(v):.4f}"
                                for k, v in metrics.items()))
                 margin = float(metrics.get("scan_sat_margin", 0.0))
-                if margin >= 0.9 * 60.0 and cfg.scan_impl != "auto_exact":
-                    from fusionmamba_tpu.ops.scan_guard import SATURATION_CLIP
-                    if (margin >= SATURATION_CLIP and args.auto_exact
-                            and cfg.scan_impl == "auto"):
-                        logger.warning(
-                            f"scan saturation margin {margin:.1f} >= clip "
-                            f"({SATURATION_CLIP}); switching to the exact "
-                            "scan tier (impl=auto_exact, one recompile)")
-                        import dataclasses as _dc
-                        cfg = _dc.replace(cfg, scan_impl="auto_exact")
-                        model = VSSMFusionSeg(cfg)
-                        train_step = make_seg_train_step(
-                            model, num_classes, mode=args.mode,
-                            fusion_weight=args.fusion_weight,
-                            seg_weight=args.seg_weight,
-                            class_weights=class_weights, improved=improved,
-                            compute_dtype=resolve_compute_dtype(
-                                args.precision),
-                            scan_guard=args.scan_guard)
-                    else:
-                        sev = ("EXCEEDS" if margin >= SATURATION_CLIP
-                               else "is within 10% of")
-                        logger.warning(
-                            f"scan saturation margin {margin:.1f} {sev} "
-                            f"the cumsum rescale clip ({SATURATION_CLIP}); "
-                            "set FM_SCAN_ALGO=doubling (exact for any "
-                            "magnitude)")
+                from fusionmamba_tpu.ops.scan_guard import (
+                    SATURATION_CLIP, saturation_action)
+                act = saturation_action(margin, cfg.scan_impl,
+                                        args.auto_exact)
+                if act == "switch":
+                    logger.warning(
+                        f"scan saturation margin {margin:.1f} >= clip "
+                        f"({SATURATION_CLIP}); switching to the exact "
+                        "scan tier (impl=auto_exact, one recompile)")
+                    import dataclasses as _dc
+                    cfg = _dc.replace(cfg, scan_impl="auto_exact")
+                    model = VSSMFusionSeg(cfg)
+                    train_step = make_seg_train_step(
+                        model, num_classes, mode=args.mode,
+                        fusion_weight=args.fusion_weight,
+                        seg_weight=args.seg_weight,
+                        class_weights=class_weights, improved=improved,
+                        compute_dtype=resolve_compute_dtype(
+                            args.precision),
+                        scan_guard=args.scan_guard)
+                elif act in ("warn_exceed", "warn_near"):
+                    sev = ("EXCEEDS" if act == "warn_exceed"
+                           else "is within 10% of")
+                    logger.warning(
+                        f"scan saturation margin {margin:.1f} {sev} "
+                        f"the cumsum rescale clip ({SATURATION_CLIP}); "
+                        "set FM_SCAN_ALGO=doubling (exact for any "
+                        "magnitude)")
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
 
         ckpt = os.path.join(os.path.abspath(args.ckpt_dir),
