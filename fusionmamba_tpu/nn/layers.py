@@ -117,11 +117,17 @@ class ECALayer(nn.Module):
     def __call__(self, x):  # NHWC
         w = self.param(
             "conv_kernel", torch_conv_bias(self.k_size), (self.k_size,))
-        y = jnp.mean(x, axis=(1, 2))             # (B, C)
-        y = jax.lax.conv_general_dilated(
-            y[:, :, None], w[:, None, None],
-            window_strides=(1,), padding="SAME",
-            dimension_numbers=("NHC", "HIO", "NHC"))[:, :, 0]
+        m = jnp.mean(x, axis=(1, 2))             # (B, C)
+        # the k-tap SAME conv over the channel axis as explicit shifted
+        # multiply-adds: a (B, C, 1) conv_general_dilated lowers to a
+        # standalone convolution-fusion launch per call site (~40 of them
+        # per step, fwd+bwd), while these few elementwise ops fuse into
+        # the surrounding graph. Identical math (zero-padded taps).
+        half = self.k_size // 2
+        mp = jnp.pad(m, ((0, 0), (half, half)))
+        C = m.shape[-1]
+        y = sum(w[i] * jax.lax.dynamic_slice_in_dim(mp, i, C, axis=1)
+                for i in range(self.k_size))
         gate = jax.nn.sigmoid(y)
         return x * gate[:, None, None, :]
 
