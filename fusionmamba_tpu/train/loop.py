@@ -37,7 +37,15 @@ def poly_lr(base_lr: float, step: int, max_iter: int,
     return base_lr * (1.0 - step / max_iter) ** power
 
 
-_FLATTEN_THRESHOLD = 1 << 20  # elements; leaves >= this update per-leaf
+# elements; leaves >= this update per-leaf. The flatten group's per-step
+# grad concatenate is HBM traffic proportional to the flattened bytes,
+# while leaves below ~VPU-tile size need the flatten to avoid a
+# tiny-fusion storm (see _flatten_small). 128K (16 full (8,128) tiles)
+# measured best: full-step 85.3 vs 84.2 pairs/s at the old 1M default
+# (r4, bench_artifacts/) -- the 1M threshold flattened ~64M of the ~66M
+# params and paid ~2.7 ms/step of concatenate alone.
+import os as _os
+_FLATTEN_THRESHOLD = int(_os.environ.get("FM_FLATTEN_THRESHOLD", 128 * 1024))
 
 
 def _flatten_small(mk_tx: Callable[[], optax.GradientTransformation],
