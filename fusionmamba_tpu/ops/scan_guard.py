@@ -77,10 +77,18 @@ def saturation_action(margin: float, scan_impl: str,
                        (explicit impl or --no_auto_exact): tell the user
                        to restart on an exact algorithm
       "warn_near"   -- within 10% of the clip
-      None          -- nothing to do (incl. already on the exact tier,
-                       where the margin is moot)
+      None          -- nothing to do (incl. already on ANY magnitude-exact
+                       tier -- auto_exact/pallas_exact/ref/assoc, or a
+                       cumsum-family impl forced onto the doubling
+                       algorithm via FM_SCAN_ALGO -- where the margin is
+                       moot; ADVICE r4)
     """
-    if scan_impl == "auto_exact":
+    if scan_impl in ("auto_exact", "pallas_exact", "ref", "assoc"):
+        return None
+    from .scan_pallas import _algo
+    if _algo() == "doubling":
+        # pallas/auto/sp dispatch into the Pallas kernel, whose intra-chunk
+        # algorithm is the magnitude-exact doubling scan here
         return None
     if margin >= SATURATION_CLIP:
         if auto_exact and scan_impl == "auto":

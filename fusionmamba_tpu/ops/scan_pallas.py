@@ -45,6 +45,7 @@ complex-A capability is intentionally out of scope here (see PARITY.md row 1).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 import os
 from typing import NamedTuple
@@ -81,6 +82,19 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # triangular-dot rescan). "doubling" remains the exact pure-VPU fallback
 # for arbitrary input magnitudes (FM_SCAN_ALGO=doubling).
 _SCAN_ALGO = os.environ.get("FM_SCAN_ALGO", "cumsum_mm")
+
+# Trace-time algorithm override (`force_scan_algo`). A ContextVar, not a
+# module global: concurrent traces (threaded compiles, async-checkpoint
+# machinery tracing mid-context) must each see their own override without
+# clobbering the other's (ADVICE r4).
+_SCAN_ALGO_OVERRIDE: "contextvars.ContextVar[str | None]" = \
+    contextvars.ContextVar("fm_scan_algo_override", default=None)
+
+
+def _algo() -> str:
+    """The intra-chunk scan algorithm active for the current trace."""
+    override = _SCAN_ALGO_OVERRIDE.get()
+    return _SCAN_ALGO if override is None else override
 
 # group size for the cumsum algorithms' rescale rebasing; must keep
 # |A| * sum(delta) within a group below the +-60 fp32 exp clip. At the
@@ -244,13 +258,11 @@ def force_scan_algo(algo: str):
     context pins its algorithm). Used by `selective_scan(impl=
     "pallas_exact")` -- the saturation-guard auto-fallback path -- to force
     the magnitude-exact "doubling" scan regardless of FM_SCAN_ALGO."""
-    global _SCAN_ALGO
-    prev = _SCAN_ALGO
-    _SCAN_ALGO = algo
+    token = _SCAN_ALGO_OVERRIDE.set(algo)
     try:
         yield
     finally:
-        _SCAN_ALGO = prev
+        _SCAN_ALGO_OVERRIDE.reset(token)
 
 
 def saturation_margin(delta: jax.Array, A: jax.Array,
@@ -403,11 +415,11 @@ def _group_scan(a: jax.Array, b: jax.Array):
     passes ~3.6 step-equivalents vs 8 for pure doubling at L=256.
     """
     T, L, F = a.shape
-    if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
+    if L % 8 != 0 or L <= 8 or _algo() == "doubling":
         return _doubling_scan(a, b)
     G = L // 8
 
-    if _SCAN_ALGO == "twolevel_roll":
+    if _algo() == "twolevel_roll":
         # within-group steps on the FLAT (T, L, F) array: hardware sublane
         # rotate + iota%8 mask, avoiding rank-4 concats of sub-tile sublane
         # slices (which Mosaic lowers as relayout copies)
@@ -457,11 +469,11 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
     """Two-level reverse scan r_l = b_l + a_next_l r_{l+1} (r_L = 0) along
     axis -2, returning (a_cum_rev, r) like `_doubling_scan_rev`."""
     T, L, F = a_next.shape
-    if L % 8 != 0 or L <= 8 or _SCAN_ALGO == "doubling":
+    if L % 8 != 0 or L <= 8 or _algo() == "doubling":
         return _doubling_scan_rev(a_next, b)
     G = L // 8
 
-    if _SCAN_ALGO == "twolevel_roll":
+    if _algo() == "twolevel_roll":
         a = a_next
         row = jax.lax.broadcasted_iota(jnp.int32, (T, L, F), 1) % 8
         for s in (1, 2, 4):
@@ -502,7 +514,7 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
 
 def _cumsum_q(L: int) -> int | None:
     """Group size for the "cumsum" algorithms, or None to fall back."""
-    if _SCAN_ALGO not in ("cumsum", "cumsum_mm"):
+    if _algo() not in ("cumsum", "cumsum_mm"):
         return None
     q = min(_CUMSUM_Q, L)
     while q > 1 and L % q:
@@ -518,7 +530,7 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
     with the kernel's VPU elementwise work, instead of log2(q) shift+add
     VPU passes whose sub-tile concats Mosaic lowers as relayout copies.
     """
-    if _SCAN_ALGO == "cumsum_mm" and x.ndim == 4 and x.shape[-2] >= 8:
+    if _algo() == "cumsum_mm" and x.ndim == 4 and x.shape[-2] >= 8:
         T, G, q_, F = x.shape
         # batch groups into one BLOCK-DIAGONAL triangular dot: a lone
         # (q, q) dot at q=32 drives only 32/128 of the MXU's M and K

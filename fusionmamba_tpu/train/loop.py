@@ -44,6 +44,12 @@ def poly_lr(base_lr: float, step: int, max_iter: int,
 # measured best: full-step 85.3 vs 84.2 pairs/s at the old 1M default
 # (r4, bench_artifacts/) -- the 1M threshold flattened ~64M of the ~66M
 # params and paid ~2.7 ms/step of concatenate alone.
+#
+# COMPAT: the threshold decides the opt-state tree partition, so a FULL
+# TrainState checkpoint (params + opt_state) saved under one threshold will
+# not restore under another (the training CLIs save params only and are
+# unaffected). To resume an opt_state saved before the r4 default change,
+# set FM_FLATTEN_THRESHOLD=1048576.
 import os as _os
 _FLATTEN_THRESHOLD = int(_os.environ.get("FM_FLATTEN_THRESHOLD", 128 * 1024))
 

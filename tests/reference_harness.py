@@ -154,7 +154,11 @@ def install_reference_shims():
         torch.nn.Module.cuda = lambda self, *a, **k: self
 
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference tree has top-level modules
+        # (train, test, utils, loss) that would shadow this repo's CLIs for
+        # every later `import train` in the same process (seen as a real
+        # full-suite failure in test_train.py::test_train_cli_mesh_flag).
+        sys.path.append(REFERENCE_ROOT)
 
 
 def build_reference_fusion(depths, depths_decoder, dims, d_state,

@@ -40,8 +40,8 @@ _CONFIGS = {
 def _torch_loss(torch, ref, x, y):
     """Reference loss pipeline: forward, train.py clamp, Fusionloss."""
     import sys
-    sys.path.insert(0, "/root/reference") if "/root/reference" not in \
-        sys.path else None
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")  # append: don't shadow repo CLIs
     from loss import Fusionloss
 
     xt = torch.from_numpy(x.transpose(0, 3, 1, 2))

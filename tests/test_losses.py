@@ -27,7 +27,7 @@ def _ref_msssim():
     if not os.path.isdir(os.path.join(_REF, "pytorch_msssim")):
         return None
     if _REF not in sys.path:
-        sys.path.insert(0, _REF)
+        sys.path.append(_REF)  # append: don't shadow repo top-level modules
     try:
         import pytorch_msssim  # vendored in the reference repo
         return pytorch_msssim

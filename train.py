@@ -15,7 +15,7 @@ import os
 import time
 
 
-def parse_args():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", type=str, default="pst900",
                     choices=["acod", "mfnet", "pst900", "all"])
@@ -71,7 +71,7 @@ def parse_args():
                          "(evidence: bench_artifacts/trajectory/)")
     ap.add_argument("--no_auto_exact", dest="auto_exact",
                     action="store_false")
-    return ap.parse_args()
+    return ap.parse_args(argv)
 
 
 def train_fusion(args, dataset_name: str, logger):
