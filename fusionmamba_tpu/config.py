@@ -29,7 +29,13 @@ class FusionModelConfig:
     # are hardcoded to 1e-5 at their call sites.
     norm_eps: float = 1e-6
     patch_norm: bool = True
-    scan_impl: str = "auto"
+    # "adaptive" (the default) = the cumsum_mm Pallas kernel while the
+    # saturation margin is inside its exactness envelope, with a per-call
+    # on-device switch to the magnitude-exact doubling kernel when training
+    # drift crosses it (ops/selective_scan.py) -- exact at any input
+    # magnitude with no retrace, so trained checkpoints infer/train
+    # correctly out of the box
+    scan_impl: str = "adaptive"
     # rematerialize each VSSBlock in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for O(depth) less activation HBM, unlocking
     # larger (throughput-optimal) batch sizes on a 16 GB v5e chip
@@ -51,8 +57,8 @@ class FusionModelConfig:
     def __post_init__(self):
         # "bypass" is a timing-ablation stub in ops/selective_scan.py, NOT a
         # model: it must be unreachable from a model config
-        allowed = ("auto", "auto_exact", "ref", "assoc", "pallas",
-                   "pallas_exact", "pallas_interpret", "sp")
+        allowed = ("adaptive", "auto", "auto_exact", "ref", "assoc",
+                   "pallas", "pallas_exact", "pallas_interpret", "sp")
         if self.scan_impl not in allowed:
             raise ValueError(
                 f"scan_impl must be one of {allowed}, got {self.scan_impl!r}")

@@ -78,12 +78,15 @@ def saturation_action(margin: float, scan_impl: str,
                        to restart on an exact algorithm
       "warn_near"   -- within 10% of the clip
       None          -- nothing to do (incl. already on ANY magnitude-exact
-                       tier -- auto_exact/pallas_exact/ref/assoc, or a
-                       cumsum-family impl forced onto the doubling
+                       tier -- adaptive/auto_exact/pallas_exact/ref/assoc,
+                       or a cumsum-family impl forced onto the doubling
                        algorithm via FM_SCAN_ALGO -- where the margin is
-                       moot; ADVICE r4)
+                       moot; ADVICE r4). "adaptive" self-corrects per call
+                       (selective_scan.py) -- the margin metric stays
+                       useful telemetry but needs no action.
     """
-    if scan_impl in ("auto_exact", "pallas_exact", "ref", "assoc"):
+    if scan_impl in ("adaptive", "auto_exact", "pallas_exact", "ref",
+                     "assoc"):
         return None
     from .scan_pallas import _algo
     if _algo() == "doubling":

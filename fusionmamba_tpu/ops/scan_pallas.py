@@ -78,6 +78,22 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # fp32 range by rebasing S per Q=32-row group (worst-case |S| growth at the
 # reference's dt/A init is 1.6/step -> 51 < the +-60 clip) and combining
 # groups with the overflow-free (a,b) monoid on 1/Q-size carry arrays.
+# "adaptive_cell" = PER-GRID-CELL runtime selection between the two regimes:
+# each (bk-tile, d-block, l-chunk) cell computes its own rescale margin
+# max |A| * group-cumsum(delta) (one unexpanded-width multiply + reduce) and
+# branches via an in-kernel lax.cond -- margin inside the +-60 clip -> the
+# fast cumsum_mm rescan (bit-identical to FM_SCAN_ALGO=cumsum_mm there),
+# margin outside -> the magnitude-exact doubling scan for that cell only.
+# Numerically validated at every magnitude (test_adaptive_algo_*), but
+# MEASURED SLOW on v5e (r5, bench_artifacts/r5/adaptive_cell_bench.txt):
+# the data-dependent scf.if costs 4.5x on the single-chunk stage (the
+# vector-reduce predicate stalls the scalar core's run-ahead pipeline) and
+# even a constant scalar predicate leaves +36..55%% on multi-chunk stages
+# (the if-region breaks cross-grid-step DMA pipelining). Kept as an
+# experiment record; the SHIPPED adaptive mechanism is per-CALL dispatch in
+# selective_scan (impl="adaptive"): margin computed OUTSIDE the kernel, one
+# XLA-level cond between the two compiled kernels -- zero in-kernel
+# overhead when safe.
 # DEFAULT: "cumsum_mm" -- the measured-best TPU operating point (the MXU
 # triangular-dot rescan). "doubling" remains the exact pure-VPU fallback
 # for arbitrary input magnitudes (FM_SCAN_ALGO=doubling).
@@ -230,6 +246,18 @@ def _fuse_on(l_chunk: int) -> bool:
     if _FUSE_MODE == "auto":
         return l_chunk <= _FUSE_LMAX
     return _FUSE_MODE == "1"
+
+# TIMING-ONLY predicate override for the adaptive algorithm ("const" takes
+# the fast branch via a scalar-core-resident always-true predicate --
+# isolates the cost of the data-dependent VPU-reduce predicate from the
+# scf.if region cost; produces WRONG results on saturating inputs)
+_ADAPT_PRED = os.environ.get("FM_SCAN_ADAPT_PRED", "data")
+
+
+def _adaptive_pred(margin):
+    if _ADAPT_PRED == "const":
+        return pl.program_id(2) < 2 ** 30
+    return margin < _CLIP
 
 # how the cumsum algorithms read one row per q-group (group-end decay
 # products / sums): "slice" = a strided sublane extract (DEFAULT --
@@ -514,7 +542,7 @@ def _group_scan_rev(a_next: jax.Array, b: jax.Array):
 
 def _cumsum_q(L: int) -> int | None:
     """Group size for the "cumsum" algorithms, or None to fall back."""
-    if _algo() not in ("cumsum", "cumsum_mm"):
+    if _algo() not in ("cumsum", "cumsum_mm", "adaptive_cell"):
         return None
     q = min(_CUMSUM_Q, L)
     while q > 1 and L % q:
@@ -530,7 +558,8 @@ def _cumsum_ax(x: jax.Array, q: int, up: bool = False) -> jax.Array:
     with the kernel's VPU elementwise work, instead of log2(q) shift+add
     VPU passes whose sub-tile concats Mosaic lowers as relayout copies.
     """
-    if _algo() == "cumsum_mm" and x.ndim == 4 and x.shape[-2] >= 8:
+    if (_algo() in ("cumsum_mm", "adaptive_cell") and x.ndim == 4
+            and x.shape[-2] >= 8):
         T, G, q_, F = x.shape
         # batch groups into one BLOCK-DIAGONAL triangular dot: a lone
         # (q, q) dot at q=32 drives only 32/128 of the MXU's M and K
@@ -898,22 +927,55 @@ def _fwd_kernel(
     mm = _EXPAND_MODE == "mm"
 
     q = _cumsum_q(delta.shape[-2])
-    # `not _ABLATE` mirrors the backward's gate: with ablation flags set the
-    # fused path would dodge the stubbed stages and skew the measurement
-    if q and _fuse_on(delta.shape[-2]) and not mm and not _ABLATE:
+
+    def _fused_cumsum_x(trel):
         # fused build x rescale: Z_n = du*B_n*exp(-s_n) and P_n = exp(s_n)
         # built per-n inside the concats -- S, b, Pinv never materialize
         # at expanded width (see _FUSE)
         Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
-        trel = _group_rel_cumsum(delta, q)
         Ps, Zs = [], []
         for n in range(N):
             s = jnp.clip(trel * At[:, n:n + 1, :], -_CLIP, _CLIP)
             Ps.append(jnp.exp(s))
             Zs.append(du * Bc[:, :, n:n + 1] * jnp.exp(-s))
         P = jnp.concatenate(Ps, axis=-1)
-        x = _cumsum_scan(delta, At, None, q, h0, parts=(P, None),
-                         Zpre=jnp.concatenate(Zs, axis=-1))
+        return _cumsum_scan(delta, At, None, q, h0, parts=(P, None),
+                            Zpre=jnp.concatenate(Zs, axis=-1))
+
+    def _concat_b():
+        Bc = B_ref[:].astype(jnp.float32)      # (T, L_CHUNK, N)
+        return jnp.concatenate(
+            [du * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+
+    def _doubling_x(b):
+        a = jnp.exp(jnp.concatenate(
+            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+        a_cum, x = _doubling_scan(a, b)        # (T, L_CHUNK, N*D_BLK)
+        return x + a_cum * h0                  # inject flat carry row
+
+    if _algo() == "adaptive_cell" and q and not mm and not _ABLATE:
+        # per-cell regime selection (see the "adaptive" note at _SCAN_ALGO):
+        # margin bounds every |S| the rescale would clip, on the UNEXPANDED
+        # (T, L, D_BLK) width (one multiply + reduce)
+        trel = _group_rel_cumsum(delta, q)
+        margin = jnp.max(jnp.abs(trel)
+                         * jnp.max(jnp.abs(At), axis=1, keepdims=True))
+        if _fuse_on(delta.shape[-2]):
+            x = jax.lax.cond(_adaptive_pred(margin),
+                             lambda: _fused_cumsum_x(trel),
+                             lambda: _doubling_x(_concat_b()))
+        else:
+            b = _concat_b()                    # shared by both branches
+            x = jax.lax.cond(_adaptive_pred(margin),
+                             lambda: _cumsum_scan(delta, At, b, q, h0),
+                             lambda: _doubling_x(b))
+        h_carry[:, 0:1, :] = x[:, -1:, :]
+        _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D)
+        return
+    # `not _ABLATE` mirrors the backward's gate: with ablation flags set the
+    # fused path would dodge the stubbed stages and skew the measurement
+    if q and _fuse_on(delta.shape[-2]) and not mm and not _ABLATE:
+        x = _fused_cumsum_x(_group_rel_cumsum(delta, q))
         h_carry[:, 0:1, :] = x[:, -1:, :]
         _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D)
         return
@@ -1106,7 +1168,77 @@ def _bwd_kernel(
                 [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
     h0_flat = hsave_ref[:, 0, 0]               # (T, 1, N*D_BLK)
     gc = g_carry[:]                            # carry from chunk to right
-    if q:
+
+    def _doubling_xgd(b_, src_):
+        """Magnitude-exact (a, b) monoid recompute + adjoint for one cell."""
+        a = jnp.exp(jnp.concatenate(
+            [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
+        a_cum, x = _doubling_scan(a, b_)
+        x = x + a_cum * h0_flat                # h_l for l in chunk
+        a_next = jnp.concatenate(
+            [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+        acr, g = _doubling_scan_rev(a_next, src_)
+        g = g + acr * gc                       # acr_l = prod_{i>l} a_i
+        x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)
+        gnew = a[:, :1, :] * g[:, :1, :]
+        # exact daa = g * a * x_prev (see the cancellation note below)
+        daa = g * x_prev * a
+        return x, g, daa, gnew
+
+    if _algo() == "adaptive_cell" and q and not mm and not _ABLATE:
+        # per-cell regime selection, mirroring the forward's decision from
+        # the same inputs (see the "adaptive" note at _SCAN_ALGO)
+        trel = _group_rel_cumsum(delta, q)
+        margin = jnp.max(jnp.abs(trel)
+                         * jnp.max(jnp.abs(At), axis=1, keepdims=True))
+
+        def _cumsum_xgd():
+            if fuse:
+                Ps, Pinvs, Zs, Vs = [], [], [], []
+                for n in range(N):
+                    s = jnp.clip(trel * At[:, n:n + 1, :], -_CLIP, _CLIP)
+                    en = jnp.exp(s)
+                    einv = jnp.exp(-s)
+                    Ps.append(en)
+                    Pinvs.append(einv)
+                    Zs.append(du_t * Bc[:, :, n:n + 1] * einv)
+                    Vs.append(Cc[:, :, n:n + 1] * dy * en)
+                parts_ = (jnp.concatenate(Ps, axis=-1),
+                          jnp.concatenate(Pinvs, axis=-1))
+                Zp, Vp = (jnp.concatenate(Zs, axis=-1),
+                          jnp.concatenate(Vs, axis=-1))
+            else:
+                parts_ = _rescaled_group_parts(delta, At, q)
+                Zp = Vp = None
+            Tq, Lq, Fq = parts_[0].shape
+            Gq = Lq // q
+            ga_sh = _take_row(parts_[0].reshape(Tq, Gq, q, Fq), q - 1)
+            x, W4, prev_x = _cumsum_scan(delta, At, b, q, h0_flat, parts_,
+                                         return_parts=True, ga=ga_sh,
+                                         Zpre=Zp)
+            g, G2 = _cumsum_scan_rev(delta, At, src, q, gc, parts_,
+                                     return_parts=True, ga=ga_sh,
+                                     Vpre=Vp)
+            Tt, Gg, q_, Ff = G2.shape
+            Wsh = jnp.concatenate(
+                [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
+            daa = (G2 * Wsh).reshape(Tt, Gg * q_, Ff)
+            return x, g, daa, G2[:, 0, 0:1, :]
+
+        if fuse:
+            def _exact_branch():
+                b_ = jnp.concatenate(
+                    [du_t * Bc[:, :, n:n + 1] for n in range(N)], axis=-1)
+                src_ = jnp.concatenate(
+                    [Cc[:, :, n:n + 1] * dy for n in range(N)], axis=-1)
+                return _doubling_xgd(b_, src_)
+        else:
+            def _exact_branch():
+                return _doubling_xgd(b, src)
+        x, g, daa, gnew = jax.lax.cond(
+            _adaptive_pred(margin), _cumsum_xgd, _exact_branch)
+        g_carry[:, 0:1, :] = gnew
+    elif q:
         Zpre = Vpre = None
         if fuse:
             # fused build x rescale (see _FUSE): per-n chains produce the

@@ -10,6 +10,10 @@ routes to one of three implementations:
                 (parallel/seq_scan.py; local scans use "auto"); for
                 >=1k-resolution inputs where L justifies cross-chip scans
   * "auto"   -- pallas on TPU backends, assoc elsewhere
+  * "adaptive" -- auto, plus a per-call on-device cond onto the
+                magnitude-exact doubling kernel whenever the saturation
+                margin crosses the rescale clip (exact at any magnitude,
+                cumsum_mm speed while safe -- the training default)
 
 Canonical layout (channels-last, TPU-native):
     u, delta : (B, K, L, D)   A: (K, D, N)   Bmat/Cmat: (B, K, L, N)
@@ -28,8 +32,8 @@ from .scan_assoc import selective_scan_assoc
 from .scan_pallas import selective_scan_pallas
 from .scan_ref import selective_scan_ref
 
-_IMPLS = ("auto", "auto_exact", "ref", "assoc", "pallas", "pallas_exact",
-          "pallas_interpret", "sp", "bypass")
+_IMPLS = ("auto", "auto_exact", "adaptive", "ref", "assoc", "pallas",
+          "pallas_exact", "pallas_interpret", "sp", "bypass")
 
 
 def _materialize_dt(delta, dt_lowrank_weight):
@@ -108,6 +112,41 @@ def selective_scan(
         return _auto_dispatch(u, delta, A, Bmat, Cmat, D, delta_bias,
                               delta_softplus, return_last_state,
                               dt_lowrank_weight, algo="doubling")
+    if impl == "adaptive":
+        # magnitude-exact at cumsum_mm speed: ONE runtime cond per scan
+        # call between the two compiled kernels, decided by the same margin
+        # the saturation guard monitors -- computed on device, no retrace,
+        # no host sync. A training run whose margin drifts past the clip
+        # (bench_artifacts/trajectory/: 59 -> 5800 in 200 steps) flips only
+        # the affected layers onto the doubling kernel, so steady-state
+        # throughput ~= the headline instead of paying the whole-model
+        # doubling tier. (An in-kernel per-grid-cell variant was built and
+        # measured slower -- see scan_pallas.py "adaptive_cell".)
+        if return_last_state:
+            return selective_scan_assoc(
+                u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat,
+                D, delta_bias, delta_softplus, True)
+        from .scan_pallas import SATURATION_CLIP, saturation_margin
+
+        def _adaptive_tpu():
+            margin = saturation_margin(
+                _materialize_dt(delta, dt_lowrank_weight).astype(
+                    jnp.float32), A, delta_bias, delta_softplus)
+            return jax.lax.cond(
+                margin < SATURATION_CLIP,
+                lambda: selective_scan_pallas(
+                    u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+                    False, dt_lowrank_weight=dt_lowrank_weight),
+                lambda: selective_scan_pallas(
+                    u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+                    False, dt_lowrank_weight=dt_lowrank_weight,
+                    algo="doubling"))
+        return jax.lax.platform_dependent(
+            tpu=_adaptive_tpu,
+            default=lambda: selective_scan_assoc(
+                u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat,
+                D, delta_bias, delta_softplus, False),
+        )
     if impl == "ref":
         return selective_scan_ref(
             u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,

@@ -27,8 +27,13 @@ class TrainState(train_state.TrainState):
 
 
 def reference_fusion_lr(epoch: int) -> float:
-    """`train.py:125-131`: lr = 1e-4 * 0.75^(epoch-1), set per epoch."""
-    return 1e-4 * (0.75 ** max(epoch - 1, 0))
+    """`train.py:125-131`: lr_this_epo = 1e-4 * 0.75 ** (epo - 1) with epo
+    0-BASED -- so the reference's first epoch runs at 1e-4 / 0.75 ~ 1.333e-4
+    (the -1 exponent on epoch 0 is almost certainly unintended upstream, but
+    it is what every released model trained with: quirk-for-quirk parity,
+    validated by test_optimizer_trajectory_parity). `epoch` here is 1-based
+    (epoch = epo + 1)."""
+    return 1e-4 * (0.75 ** (epoch - 2))
 
 
 def poly_lr(base_lr: float, step: int, max_iter: int,

@@ -520,3 +520,147 @@ def test_pallas_exact_impl_overrides_saturating_default(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
             err_msg=f"pallas_exact grad mismatch {name}")
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("regime", ["safe", "saturating", "heterogeneous"])
+def test_adaptive_algo_exact_any_magnitude(monkeypatch, regime):
+    """FM_SCAN_ALGO=adaptive: per-grid-cell runtime branch between the fast
+    cumsum_mm rescan (margin inside the +-60 clip) and the magnitude-exact
+    doubling scan (outside). Must match the float64 golden at EVERY input
+    magnitude -- including mixed cells, where some (batch, d-block) grid
+    cells take each branch -- fwd and grads. This is the property that lets
+    trained models (whose saturation margin drifts to thousands,
+    bench_artifacts/trajectory/) keep the cumsum_mm operating point."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    monkeypatch.setattr(sp, "_SCAN_ALGO", "adaptive_cell")
+    monkeypatch.setattr(sp, "_GRAD_MM_MODE", "off")
+
+    rng = np.random.default_rng(21)
+    batch, K, L, dim, N = 2, 2, 64, 16, 4
+    u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+    scale = {"safe": 0.1, "saturating": 40.0, "heterogeneous": 0.1}[regime]
+    delta = (scale * np.abs(rng.standard_normal((batch, K, L, dim)))).astype(
+        np.float32)
+    if regime == "heterogeneous":
+        delta[1] *= 500.0  # batch-1 cells saturate, batch-0 cells don't
+    A = -np.exp(rng.uniform(0.0, 1.5, (K, dim, N))).astype(np.float32)
+    B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    D = rng.standard_normal((K, dim)).astype(np.float32)
+    bias = rng.standard_normal((K, dim)).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+
+    got = selective_scan_pallas(*args, delta_softplus=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4, atol=2e-3)
+
+    def loss(*a):
+        out = selective_scan_pallas(*a, delta_softplus=True, interpret=True)
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    def loss_ref(*a):
+        out = selective_scan_ref(*a, delta_softplus=True)
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    g = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"],
+                          g, g_ref):
+        sc = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / sc, np.asarray(b) / sc, rtol=1e-3, atol=1e-3,
+            err_msg=f"adaptive grad mismatch {name} ({regime})")
+
+
+@pytest.mark.tpu
+def test_adaptive_algo_compiled_saturating(monkeypatch):
+    """The adaptive per-cell lax.cond LOWERS AND RUNS on the real TPU
+    (Mosaic cond legality is only checked by a real lowering) and stays
+    exact on saturating inputs through the COMPILED fwd+bwd kernels."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    monkeypatch.setattr(sp, "_SCAN_ALGO", "adaptive_cell")
+    rng = np.random.default_rng(23)
+    batch, K, L, dim, N = 1, 2, 64, 128, 16
+    u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+    delta = (8.0 + rng.standard_normal((batch, K, L, dim))).astype(np.float32)
+    delta[0, 0] *= 0.01  # direction 0 stays in the safe regime (mixed cells)
+    A = -np.exp(rng.uniform(0.5, 1.5, (K, dim, N))).astype(np.float32)
+    B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    D = rng.standard_normal((K, dim)).astype(np.float32)
+    bias = rng.standard_normal((K, dim)).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+    want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+
+    got = jax.jit(
+        lambda *a: selective_scan_pallas(*a, delta_softplus=True))(*args)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=6e-4, atol=2e-3)
+
+    def loss(*a):
+        out = selective_scan_pallas(*a, delta_softplus=True)
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    def loss_ref(*a):
+        out = selective_scan_ref(*a, delta_softplus=True)
+        return jnp.sum(out * jnp.cos(
+            jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["du", "ddelta", "dA", "dB", "dC"], g, g_ref):
+        sc = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / sc, np.asarray(b) / sc, rtol=3e-2, atol=5e-2,
+            err_msg=f"compiled adaptive grad mismatch {name}")
+
+
+@pytest.mark.tpu
+def test_adaptive_impl_dispatch_on_device(monkeypatch):
+    """impl="adaptive" (the per-CALL margin cond, selective_scan.py): on the
+    real chip, safe inputs ride the cumsum_mm kernel and saturating inputs
+    flip the SAME jitted program onto the doubling kernel -- no retrace --
+    and both match the golden. This is the shipped steady-state mechanism
+    (the in-kernel adaptive_cell variant is the measured-slow experiment)."""
+    from fusionmamba_tpu.ops.selective_scan import selective_scan
+
+    rng = np.random.default_rng(29)
+    batch, K, L, dim, N = 1, 2, 64, 128, 16
+    u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+    A = -np.exp(rng.uniform(0.5, 1.5, (K, dim, N))).astype(np.float32)
+    B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+    D = rng.standard_normal((K, dim)).astype(np.float32)
+    bias = rng.standard_normal((K, dim)).astype(np.float32)
+
+    fn = jax.jit(lambda *a: selective_scan(*a, delta_softplus=True,
+                                           impl="adaptive"))
+    gfn = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.tanh(selective_scan(
+            *a, delta_softplus=True, impl="adaptive"))),
+        argnums=(0, 1, 2)))
+
+    for name, scale, rtol, atol in [("safe", 0.05, 3e-2, 5e-2),
+                                    ("saturating", 12.0, 3e-2, 5e-2)]:
+        delta = (scale * np.abs(
+            rng.standard_normal((batch, K, L, dim)))).astype(np.float32)
+        args = tuple(jnp.asarray(x)
+                     for x in (u, delta, A, B, C, D, bias))
+        want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+        got = fn(*args)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=rtol,
+                                   atol=atol, err_msg=name)
+
+        def loss_ref(*a):
+            return jnp.sum(jnp.tanh(selective_scan_ref(
+                *a, delta_softplus=True)))
+        g = gfn(*args)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+        for gname, a, b in zip(["du", "ddelta", "dA"], g, g_ref):
+            sc = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a) / sc, np.asarray(b) / sc, rtol=rtol,
+                atol=atol, err_msg=f"adaptive dispatch grad {gname} {name}")

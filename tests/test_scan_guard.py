@@ -145,8 +145,9 @@ def test_saturation_action_decision_table():
     # already on the exact tier: margin is moot, stay quiet
     assert saturation_action(100 * clip, "auto_exact", True) is None
     assert saturation_action(0.95 * clip, "auto_exact", True) is None
-    # ANY magnitude-exact impl is exempt, not just auto_exact (ADVICE r4)
-    for impl in ("pallas_exact", "ref", "assoc"):
+    # ANY magnitude-exact impl is exempt, not just auto_exact (ADVICE r4);
+    # "adaptive" self-corrects per call and needs no action either
+    for impl in ("adaptive", "pallas_exact", "ref", "assoc"):
         assert saturation_action(100 * clip, impl, True) is None, impl
     # a cumsum-family impl forced onto the exact doubling algorithm is
     # exempt too -- and the exemption must NOT leak out of the context

@@ -29,7 +29,7 @@ def parse_args(argv=None):
     ap.add_argument("--num_workers", "-j", type=int, default=8,
                     help="loader threads (cv2/PIL release the GIL); 0 = "
                          "synchronous in-loop loading")
-    ap.add_argument("--scan_impl", type=str, default="auto")
+    ap.add_argument("--scan_impl", type=str, default="adaptive")
     ap.add_argument("--precision", choices=["auto", "bf16", "fp32"],
                     default="auto",
                     help="compute dtype for the train step (master params "

@@ -32,7 +32,7 @@ def parse_args():
     ap.add_argument("--eval_interval", type=int, default=1)
     ap.add_argument("--ckpt_dir", type=str, default="model_last/segmentation")
     ap.add_argument("--model", choices=["full", "tiny"], default="full")
-    ap.add_argument("--scan_impl", type=str, default="auto")
+    ap.add_argument("--scan_impl", type=str, default="adaptive")
     ap.add_argument("--precision", choices=["auto", "bf16", "fp32"],
                     default="auto",
                     help="compute dtype for the train step (master params "
