@@ -168,20 +168,51 @@ class BiAttn(nn.Module):
         return x * attn
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense's parameters (kernel (in, out) + bias (out,)) without its
+    compute -- param tree identical to `Dense`, so checkpoints are
+    interchangeable with the unfused Mlp form."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", trunc_normal(0.02),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class Mlp(nn.Module):
-    """2-layer GELU MLP (`models/cross.py:770-788`)."""
+    """2-layer GELU MLP (`models/cross.py:770-788`).
+
+    On TPU with inactive dropout (the shipped configs set drop=0.0, like
+    the reference's instantiations) the whole block runs as ONE fused
+    Pallas kernel (ops/mlp_pallas.py): the 4x-wide hidden activations
+    never round-trip HBM in either direction (the unfused form was the
+    single largest non-scan profile slice, 37.6 ms/step at b24 bf16 --
+    bench_artifacts/r5/)."""
     hidden: int
     out: int
     drop: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = Dense(self.hidden, name="fc1")(x)
-        x = gelu_exact(x)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = Dense(self.out, name="fc2")(x)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        return x
+        C = x.shape[-1]
+        w1, b1 = _DenseParams(C, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.out, name="fc2")()
+
+        if self.drop > 0.0 and not deterministic:
+            # dropout needs the unfused form (rng masks between the layers);
+            # flax modules are created OUTSIDE any lax branch
+            h = gelu_exact(x @ w1 + b1)
+            h = nn.Dropout(self.drop)(h, deterministic=False)
+            y = h @ w2 + b2
+            return nn.Dropout(self.drop)(y, deterministic=False)
+
+        from ..ops.mlp_pallas import fused_mlp
+        return jax.lax.platform_dependent(
+            tpu=lambda: fused_mlp(x, w1, b1, w2, b2),
+            default=lambda: gelu_exact(x @ w1 + b1) @ w2 + b2)
 
 
 class DifferentialEnhance(nn.Module):

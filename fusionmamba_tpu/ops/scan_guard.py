@@ -58,6 +58,13 @@ def maybe_record(delta, A, delta_bias, delta_softplus) -> None:
             saturation_margin(delta, A, delta_bias, delta_softplus))
 
 
+def maybe_record_value(margin) -> None:
+    """Record an already-computed scalar margin (the adaptive TPU path gets
+    it for free as a kernel output -- no dt materialization)."""
+    if _ACTIVE is not None:
+        _ACTIVE.append(jnp.asarray(margin, jnp.float32))
+
+
 def reduce_margins(margins: List[jax.Array]) -> jax.Array:
     """Max over collected margins (0.0 when none were recorded)."""
     if not margins:
@@ -107,6 +114,7 @@ __all__ = [
     "collect_saturation_margins",
     "is_collecting",
     "maybe_record",
+    "maybe_record_value",
     "reduce_margins",
     "saturation_action",
     "saturation_margin",

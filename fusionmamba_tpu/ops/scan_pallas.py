@@ -898,10 +898,16 @@ def _delta_raw_from_refs(dt_ref, Wt_ref, lowrank: bool) -> jax.Array:
 def _fwd_kernel(
     u_ref, dt_ref, Wt_ref, At_ref, B_ref, C_ref, D_ref, bias_ref,
     out_ref, hsave_ref,
-    h_carry,
-    *, N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
-    lowrank: bool,
+    *rest,
+    N: int, delta_softplus: bool, has_D: bool, has_bias: bool,
+    lowrank: bool, emit_margin: bool = False,
 ):
+    # emit_margin adds a third output BETWEEN hsave and the scratch: the
+    # per-cell saturation margin (run-then-repair adaptive dispatch)
+    if emit_margin:
+        margin_ref, h_carry = rest
+    else:
+        (h_carry,) = rest
     l_idx = pl.program_id(2)
 
     @pl.when(l_idx == 0)
@@ -927,6 +933,19 @@ def _fwd_kernel(
     mm = _EXPAND_MODE == "mm"
 
     q = _cumsum_q(delta.shape[-2])
+
+    if emit_margin:
+        # the exact quantity the rescale clips: max |A_n| * group-cumsum of
+        # delta, on the UNEXPANDED width (~1 extra pass; the fused path's
+        # own trel CSEs with this one). q=None shapes run the doubling
+        # scan (margin moot) -- emit 0.
+        if q:
+            trel_m = _group_rel_cumsum(delta, q)
+            mval = jnp.max(jnp.abs(trel_m)
+                           * jnp.max(jnp.abs(At), axis=1, keepdims=True))
+        else:
+            mval = jnp.float32(0.0)
+        margin_ref[:] = jnp.full(margin_ref.shape, mval, jnp.float32)
 
     def _fused_cumsum_x(trel):
         # fused build x rescale: Z_n = du*B_n*exp(-s_n) and P_n = exp(s_n)
@@ -1013,12 +1032,18 @@ def _fwd_readout(u, x, C_ref, D_ref, out_ref, N, d_blk, mm, has_D):
 
 
 def _fwd_pallas(u, delta, Wt_bk, At_bk, Bmat, Cmat, Dp_bk, bias_bk,
-                delta_softplus, cfg, interpret):
+                delta_softplus, cfg, interpret, emit_margin=False):
     """Inputs in BK-folded layouts: u/delta (BK, L, D), At_bk (BK, N, D),
     B/C (BK, L, N), Dp_bk/bias_bk (BK, 1, D).
 
     Lowrank mode (Wt_bk not None): delta is the LOW-RANK (BK, L, R) dt and
-    Wt_bk its (BK, R, D) projection; the kernel expands it on the MXU."""
+    Wt_bk its (BK, R, D) projection; the kernel expands it on the MXU.
+
+    emit_margin=True additionally returns the per-grid-cell saturation
+    margins (a (BK//T, n_dblk, n_lchunk, 1, 128) f32 array, every lane of a
+    cell's block holding that cell's margin) -- consumed by the adaptive
+    run-then-repair dispatch at ~zero cost vs the outside-kernel margin
+    (which must materialize the low-rank dt through HBM)."""
     BK, L, dim = u.shape
     N = At_bk.shape[1]
     T = cfg.t_fwd
@@ -1056,30 +1081,38 @@ def _fwd_pallas(u, delta, Wt_bk, At_bk, Bmat, Cmat, Dp_bk, bias_bk,
         pl.BlockSpec((T, 1, cfg.d_blk), lambda bk, d, l: (bk, 0, d),
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = (
+    out_specs = [
         pl.BlockSpec((T, cfg.l_chunk, cfg.d_blk), _xld, memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 1, 1, 1, flat),
                      lambda bk, d, l: (bk, d, l, 0, 0),
                      memory_space=pltpu.VMEM),
-    )
-    out_shapes = (
+    ]
+    out_shapes = [
         jax.ShapeDtypeStruct((BK, L, dim), u.dtype),
         jax.ShapeDtypeStruct((BK, cfg.n_dblk, cfg.n_lchunk, 1, flat),
                              jnp.float32),
-    )
+    ]
+    if emit_margin:
+        out_specs.append(
+            pl.BlockSpec((T, 1, 1, 1, 128),
+                         lambda bk, d, l: (bk, d, l, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((BK, cfg.n_dblk, cfg.n_lchunk, 1, 128),
+                                 jnp.float32))
 
     kernel = functools.partial(
         _fwd_kernel, N=N, delta_softplus=delta_softplus,
         has_D=Dp_bk is not None, has_bias=bias_bk is not None,
-        lowrank=lowrank,
+        lowrank=lowrank, emit_margin=emit_margin,
     )
     zeros = jnp.zeros((BK, 1, dim), jnp.float32)
-    out, hsave = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((T, 1, flat), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -1090,7 +1123,7 @@ def _fwd_pallas(u, delta, Wt_bk, At_bk, Bmat, Cmat, Dp_bk, bias_bk,
       Bmat, Cmat,
       Dp_bk if Dp_bk is not None else zeros,
       bias_bk if bias_bk is not None else zeros)
-    return out, hsave
+    return outs  # (out, hsave) or (out, hsave, margins)
 
 
 # ----------------------------------------------------------------------------
@@ -1729,3 +1762,105 @@ def selective_scan_pallas(
         delta_softplus, interpret, algo,
     )
     return out.astype(in_dtype)
+
+
+# ----------------------------------------------------------------------------
+# Adaptive run-then-repair wrapper (impl="adaptive" on the TPU path)
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _scan_adaptive_core(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
+                        delta_softplus, interpret):
+    out, margin, _ = _adaptive_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow,
+                                   delta_softplus, interpret)
+    return out, margin
+
+
+def _adaptive_fwd(u, delta, A, Bmat, Cmat, Dp, bias, Wlow, delta_softplus,
+                  interpret):
+    """Run the FAST (library-default cumsum_mm) forward unconditionally with
+    the per-cell margin emitted by the kernel itself (no HBM materialization
+    of the low-rank dt), then repair: one on-device cond re-running ONLY the
+    tripped case through the magnitude-exact doubling forward. The backward
+    conds on the saved decision and runs exactly ONE kernel. Costs vs the
+    plain fast path when safe: one in-kernel unexpanded-width margin pass +
+    a tiny reduce + the cond boundary. When tripped: the wasted fast
+    forward (~35% of a doubling fwd+bwd).
+    """
+    B, K, L, dim = u.shape
+    N = A.shape[-1]
+    cfg = _pick_blocks(L, dim, B * K, N)
+    folded = _fold(u, delta, A, Bmat, Cmat, Dp, bias, Wlow)
+    out_f, hsave_f, margins = _fwd_pallas(*folded, delta_softplus, cfg,
+                                          interpret, emit_margin=True)
+    margin = jnp.max(margins)
+    safe = margin < _CLIP
+
+    def _keep():
+        return out_f, hsave_f
+
+    def _repair():
+        o, h = _fwd_pallas(*folded, delta_softplus, cfg, interpret)
+        return o, h
+
+    # the repair branch must trace its kernel under the doubling algorithm;
+    # cfg is shape-only, so hsave layouts match across branches (a lax.cond
+    # structural requirement)
+    with force_scan_algo("doubling"):
+        out, hsave = jax.lax.cond(safe, _keep, _repair)
+    out = out.reshape(B, K, L, dim)
+    return out, margin, (folded, hsave, safe, (B, K, L, dim))
+
+
+def _adaptive_bwd(delta_softplus, interpret, res, cts):
+    dy, _dmargin = cts            # the margin output is observational only
+    folded, hsave, safe, dims = res
+    core_res = (folded, hsave, dims)
+    return jax.lax.cond(
+        safe,
+        lambda: _core_bwd(delta_softplus, interpret, None, core_res, dy),
+        lambda: _core_bwd(delta_softplus, interpret, "doubling", core_res,
+                          dy))
+
+
+_scan_adaptive_core.defvjp(
+    lambda *a: (lambda out, margin, res: ((out, margin), res))(
+        *_adaptive_fwd(*a)),
+    _adaptive_bwd,
+)
+
+
+def selective_scan_pallas_adaptive(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    Bmat: jax.Array,
+    Cmat: jax.Array,
+    D: jax.Array | None = None,
+    delta_bias: jax.Array | None = None,
+    delta_softplus: bool = False,
+    interpret: bool = False,
+    dt_lowrank_weight: jax.Array | None = None,
+    return_margin: bool = False,
+):
+    """Magnitude-exact selective scan at cumsum_mm speed: the fast kernel
+    emits its own saturation margin per grid cell, and a single on-device
+    cond re-runs the call through the doubling kernel only when the margin
+    crossed the rescale clip (see `_adaptive_fwd`). The shipped
+    scan_impl="adaptive" TPU path.
+
+    return_margin=True also returns the scalar margin (free -- a kernel
+    output), which the dispatch feeds to the saturation-guard collector so
+    guard-on training skips its own margin materialization."""
+    in_dtype = u.dtype
+    out, margin = _scan_adaptive_core(
+        u, delta.astype(in_dtype),
+        A.astype(jnp.float32), Bmat.astype(in_dtype),
+        Cmat.astype(in_dtype),
+        None if D is None else D.astype(jnp.float32),
+        None if delta_bias is None else delta_bias.astype(jnp.float32),
+        dt_lowrank_weight,
+        delta_softplus, interpret,
+    )
+    out = out.astype(in_dtype)
+    return (out, margin) if return_margin else out

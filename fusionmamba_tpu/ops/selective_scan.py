@@ -92,11 +92,13 @@ def selective_scan(
     it with one einsum and behave identically."""
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
-    if impl != "bypass":
+    if impl not in ("bypass", "adaptive"):
         # zero-cost unless a collect_saturation_margins() context is active
         # (train steps use it to detect cumsum-clip saturation,
         # scan_guard.py). With the guard on, the low-rank path pays one
         # einsum materialization of dt -- the documented ~1-2% guard cost.
+        # "adaptive" records below instead: its TPU kernel emits the margin
+        # for free, so the guard costs ~nothing there.
         from .scan_guard import is_collecting, maybe_record
         if is_collecting():
             maybe_record(_materialize_dt(delta, dt_lowrank_weight), A,
@@ -113,40 +115,46 @@ def selective_scan(
                               delta_softplus, return_last_state,
                               dt_lowrank_weight, algo="doubling")
     if impl == "adaptive":
-        # magnitude-exact at cumsum_mm speed: ONE runtime cond per scan
-        # call between the two compiled kernels, decided by the same margin
-        # the saturation guard monitors -- computed on device, no retrace,
-        # no host sync. A training run whose margin drifts past the clip
-        # (bench_artifacts/trajectory/: 59 -> 5800 in 200 steps) flips only
-        # the affected layers onto the doubling kernel, so steady-state
-        # throughput ~= the headline instead of paying the whole-model
-        # doubling tier. (An in-kernel per-grid-cell variant was built and
-        # measured slower -- see scan_pallas.py "adaptive_cell".)
+        # magnitude-exact at cumsum_mm speed: RUN-THEN-REPAIR. The fast
+        # kernel emits its own per-cell saturation margin (the quantity the
+        # rescale clips, computed in-kernel on the unexpanded width -- the
+        # low-rank dt never materializes through HBM for it) and ONE
+        # on-device cond re-runs the call through the magnitude-exact
+        # doubling kernel only when the margin crossed the clip; the
+        # backward conds on the saved decision and runs exactly one kernel.
+        # No retrace, no host sync. A training run whose margin drifts past
+        # the clip (bench_artifacts/trajectory/: 59 -> 5800 in 200 steps)
+        # flips only the affected layers onto the doubling kernel.
+        # (An in-kernel per-grid-cell variant was built and measured
+        # slower -- see scan_pallas.py "adaptive_cell".)
         if return_last_state:
             return selective_scan_assoc(
                 u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat,
                 D, delta_bias, delta_softplus, True)
-        from .scan_pallas import SATURATION_CLIP, saturation_margin
+        from .scan_guard import is_collecting, maybe_record_value
+        from .scan_pallas import (saturation_margin,
+                                  selective_scan_pallas_adaptive)
+        collecting = is_collecting()
 
-        def _adaptive_tpu():
-            margin = saturation_margin(
-                _materialize_dt(delta, dt_lowrank_weight).astype(
-                    jnp.float32), A, delta_bias, delta_softplus)
-            return jax.lax.cond(
-                margin < SATURATION_CLIP,
-                lambda: selective_scan_pallas(
-                    u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-                    False, dt_lowrank_weight=dt_lowrank_weight),
-                lambda: selective_scan_pallas(
-                    u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
-                    False, dt_lowrank_weight=dt_lowrank_weight,
-                    algo="doubling"))
-        return jax.lax.platform_dependent(
-            tpu=_adaptive_tpu,
-            default=lambda: selective_scan_assoc(
-                u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat,
-                D, delta_bias, delta_softplus, False),
-        )
+        def _tpu():
+            return selective_scan_pallas_adaptive(
+                u, delta, A, Bmat, Cmat, D, delta_bias, delta_softplus,
+                dt_lowrank_weight=dt_lowrank_weight, return_margin=True)
+
+        def _default():
+            dt_m = _materialize_dt(delta, dt_lowrank_weight)
+            out = selective_scan_assoc(u, dt_m, A, Bmat, Cmat, D,
+                                       delta_bias, delta_softplus, False)
+            # assoc is magnitude-exact; the margin here is telemetry only
+            # (what a switch to the cumsum default WOULD see). DCE'd when
+            # no collector consumes it.
+            return out, saturation_margin(dt_m, A, delta_bias,
+                                          delta_softplus)
+
+        out, margin = jax.lax.platform_dependent(tpu=_tpu, default=_default)
+        if collecting:
+            maybe_record_value(margin)
+        return out
     if impl == "ref":
         return selective_scan_ref(
             u, _materialize_dt(delta, dt_lowrank_weight), A, Bmat, Cmat, D,

@@ -156,3 +156,34 @@ def test_saturation_action_decision_table():
         assert saturation_action(100 * clip, "pallas", True) is None
         assert saturation_action(100 * clip, "auto", True) is None
     assert saturation_action(2 * clip, "pallas", True) == "warn_exceed"
+
+
+def test_adaptive_impl_records_free_margin():
+    """impl="adaptive" feeds the guard collector the margin it computes
+    anyway (kernel output on TPU, assoc-side computation on CPU) -- one
+    margin per scan call, no separate dt materialization."""
+    import numpy as np
+
+    from fusionmamba_tpu.ops.scan_guard import (collect_saturation_margins,
+                                                reduce_margins)
+    from fusionmamba_tpu.ops.selective_scan import selective_scan
+
+    rng = np.random.default_rng(7)
+    B, K, L, D, N = 1, 2, 32, 8, 4
+    u = jnp.asarray(rng.standard_normal((B, K, L, D)), jnp.float32)
+    dt = jnp.asarray(0.2 * np.abs(rng.standard_normal((B, K, L, D))),
+                     jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.uniform(0, 1.5, (K, D, N)), jnp.float32))
+    Bm = jnp.asarray(rng.standard_normal((B, K, L, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, K, L, N)), jnp.float32)
+    with collect_saturation_margins() as margins:
+        selective_scan(u, dt, A, Bm, Cm, delta_softplus=True,
+                       impl="adaptive")
+        selective_scan(u, dt, A, Bm, Cm, delta_softplus=True,
+                       impl="adaptive")
+    assert len(margins) == 2
+    m = float(reduce_margins(margins))
+    # cross-check against the standalone margin helper
+    from fusionmamba_tpu.ops.scan_pallas import saturation_margin
+    want = float(saturation_margin(dt, A, None, True))
+    np.testing.assert_allclose(m, want, rtol=1e-5)
