@@ -55,7 +55,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = full_config(
-            remat_light=os.environ.get("FM_BENCH_REMAT_LIGHT", "0") == "1")
+            remat_light=os.environ.get("FM_BENCH_REMAT_LIGHT", "0") == "1",
+            # A/B knob: FM_BENCH_SCAN_IMPL=pallas isolates the adaptive
+            # dispatch's margin+cond cost from the kernel cost
+            scan_impl=os.environ.get("FM_BENCH_SCAN_IMPL", "adaptive"))
         size = 256
         batch = BATCH
         steps = STEPS

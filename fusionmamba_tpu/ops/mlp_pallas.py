@@ -30,6 +30,7 @@ The public entry takes flax-Dense-shaped params (kernel (in, out), bias
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 # rows per grid step, chosen so the fp32 hidden tile (R, H) stays ~2 MB:
 # large C (deep stages) -> small R; shallow wide stages -> big R amortizes
 # per-step overhead over more rows
-_ROW_BUDGET = 512 * 1024  # fp32 elements for the (R, H) hidden tile
+_ROW_BUDGET = int(os.environ.get("FM_MLP_ROW_BUDGET", 512 * 1024))
 
 
 def _pick_rows(M: int, H: int) -> int:
