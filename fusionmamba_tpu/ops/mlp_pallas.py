@@ -77,12 +77,23 @@ def _gelu_fp32(x):
     return 0.5 * x * (1.0 + _erf_fp32(x * _SQRT_HALF))
 
 
-def _dgelu_fp32(x):
-    # d/dx [x * Phi(x)] = Phi(x) + x * phi(x)
-    x = x.astype(jnp.float32)
-    phi = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
-    Phi = 0.5 * (1.0 + _erf_fp32(x * _SQRT_HALF))
-    return Phi + x * phi
+def _gelu_and_dgelu_fp32(h):
+    """(gelu(h), gelu'(h)) sharing ONE exp and ONE erf polynomial: the
+    A-S erf term needs exp(-x^2) with x = h/sqrt(2), which IS the
+    exp(-h^2/2) the gaussian pdf phi(h) needs -- evaluating them together
+    almost halves the backward's transcendental slot count."""
+    h = h.astype(jnp.float32)
+    x = h * _SQRT_HALF
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * ax)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    e = jnp.exp(-ax * ax)                     # = exp(-h^2/2)
+    erf = s * (1.0 - poly * e)
+    Phi = 0.5 * (1.0 + erf)
+    phi = e * _INV_SQRT_2PI
+    return h * Phi, Phi + h * phi             # gelu, d gelu/dh
 
 
 def _dot(a, b, dims):
@@ -112,11 +123,12 @@ def _bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref,
     x = x_ref[:]
     dy = dy_ref[:]
     h = _dot(x, w1_ref[:], ((1,), (0,))) + b1_ref[:]      # (R, H) fp32
-    a = _gelu_fp32(h).astype(x.dtype)
+    a_f32, dg = _gelu_and_dgelu_fp32(h)
+    a = a_f32.astype(x.dtype)
     # dL/da = dy @ W2^T -- contract the C axis of both (no transpose
     # materialization: dot_general contracts dim 1 of dy with dim 1 of W2)
     da = _dot(dy, w2_ref[:], ((1,), (1,)))                # (R, H) fp32
-    g = (da * _dgelu_fp32(h)).astype(x.dtype)             # dL/dh
+    g = (da * dg).astype(x.dtype)                         # dL/dh
     dx = _dot(g, w1_ref[:], ((1,), (1,)))                 # (R, C) fp32
     dx_ref[:] = dx.astype(dx_ref.dtype)
     # weight/bias grads: fp32 accumulation across the row-tile grid
