@@ -218,6 +218,8 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
             gen = gen.astype(jnp.float32)
             gen = jnp.clip(gen, 0.0, 1.0)   # train.py:149-152 clamp
             out = fusion_loss(vis_y, ir, gen)
+            if scan_guard == "vector":
+                return out.total, (out, jnp.stack(margins))
             return out.total, (out, reduce_margins(margins))
 
         (_, (aux, margin)), grads = jax.value_and_grad(
@@ -230,7 +232,13 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
             "loss_grad": aux.loss_grad,
         }
         if scan_guard:
-            metrics["scan_sat_margin"] = margin
+            metrics["scan_sat_margin"] = (
+                jnp.max(margin) if margin.ndim else margin)
+            if scan_guard == "vector":
+                # per-scan margins in trace order (one per selective_scan
+                # call) -- the trip-distribution evidence behind the
+                # steady-state bench arm (tools/margin_profile.py)
+                metrics["scan_sat_margins_vec"] = margin
         return state, metrics
 
     if jit:
