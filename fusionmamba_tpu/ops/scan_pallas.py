@@ -1216,11 +1216,19 @@ def _bwd_kernel(
             [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _doubling_scan(a, b_)
         x = x + a_cum * h0_flat                # h_l for l in chunk
-        a_next = jnp.concatenate(
-            [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+        single = a.shape[-2] == 1              # l_chunk == 1: the shifted
+        # concats below would carry 0-sized operands (Mosaic rejects
+        # 0-dim vectors; reachable since "adaptive" traces this branch
+        # for EVERY shape, e.g. the tiny config's deepest stage)
+        if single:
+            a_next = jnp.ones_like(a)
+            x_prev = h0_flat
+        else:
+            a_next = jnp.concatenate(
+                [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+            x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)
         acr, g = _doubling_scan_rev(a_next, src_)
         g = g + acr * gc                       # acr_l = prod_{i>l} a_i
-        x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)
         gnew = a[:, :1, :] * g[:, :1, :]
         # exact daa = g * a * x_prev (see the cancellation note below)
         daa = g * x_prev * a
@@ -1261,8 +1269,11 @@ def _bwd_kernel(
                                      return_parts=True, ga=ga_sh,
                                      Vpre=Vp)
             Tt, Gg, q_, Ff = G2.shape
-            Wsh = jnp.concatenate(
-                [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
+            if q_ == 1:          # 0-sized W4 slice otherwise (Mosaic)
+                Wsh = prev_x[:, :, None, :]
+            else:
+                Wsh = jnp.concatenate(
+                    [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
             daa = (G2 * Wsh).reshape(Tt, Gg * q_, Ff)
             return x, g, daa, G2[:, 0, 0:1, :]
 
@@ -1336,6 +1347,8 @@ def _bwd_kernel(
         Tt, Gg, q_, Ff = G2.shape
         if "daa" in _ABLATE:
             daa = G2.reshape(Tt, Gg * q_, Ff)
+        elif q_ == 1:            # 0-sized W4 slice otherwise (Mosaic)
+            daa = (G2 * prev_x[:, :, None, :]).reshape(Tt, Gg * q_, Ff)
         else:
             Wsh = jnp.concatenate(
                 [prev_x[:, :, None, :], W4[:, :, : q_ - 1, :]], axis=2)
@@ -1346,11 +1359,15 @@ def _bwd_kernel(
             [delta * At[:, n:n + 1, :] for n in range(N)], axis=-1))
         a_cum, x = _group_scan(a, b)
         x = x + a_cum * h0_flat                # h_l for l in chunk
-        a_next = jnp.concatenate(
-            [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+        if a.shape[-2] == 1:                   # see _doubling_xgd's note
+            a_next = jnp.ones_like(a)
+            x_prev = h0_flat
+        else:
+            a_next = jnp.concatenate(
+                [a[:, 1:, :], jnp.ones_like(a[:, :1, :])], axis=1)
+            x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)
         acr, g = _group_scan_rev(a_next, src)
-        g = g + acr * gc                       # acr_l = prod_{i>l} a_i
-        x_prev = jnp.concatenate([h0_flat, x[:, :-1, :]], axis=1)  # h_{l-1}
+        g = g + acr * gc                       # acr_l = prod_{i>l} a_i  # h_{l-1}
         g_carry[:, 0:1, :] = a[:, :1, :] * g[:, :1, :]
         # the backward needs the exact daa = g * a * x_prev -- the algebraic
         # shortcut g * (x - b) loses significance when |a*x_prev| << |b|

@@ -670,3 +670,37 @@ def test_adaptive_impl_dispatch_on_device(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a) / sc, np.asarray(b) / sc, rtol=rtol,
                 atol=atol, err_msg=f"adaptive dispatch grad {gname} {name}")
+
+
+@pytest.mark.tpu
+def test_adaptive_compiled_tiny_sequence_lengths(monkeypatch):
+    """L=1 and L=4 chunks through the COMPILED adaptive path (fwd+bwd).
+
+    Regression: with impl="adaptive" BOTH kernel branches trace for every
+    shape, and the doubling/daa code paths carried 0-sized shifted slices
+    at l_chunk==1 / q==1 (a[:, 1:], W4[:, :, :0]) that Mosaic rejects
+    ("vector types must have positive constant sizes") -- hit by the tiny
+    config's deepest stage, caught by driving train.py at --image_size 64."""
+    from fusionmamba_tpu.ops.selective_scan import selective_scan
+
+    for L in (1, 4):
+        rng = np.random.default_rng(40 + L)
+        batch, K, dim, N = 2, 4, 256, 16
+        u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+        delta = (0.2 * np.abs(rng.standard_normal(
+            (batch, K, L, dim)))).astype(np.float32)
+        A = -np.exp(rng.uniform(0.0, 1.5, (K, dim, N))).astype(np.float32)
+        B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+        C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+        D = rng.standard_normal((K, dim)).astype(np.float32)
+        bias = rng.standard_normal((K, dim)).astype(np.float32)
+        args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D, bias))
+        want = golden_scan_np(u, delta, A, B, C, D, bias, True)
+        got = jax.jit(lambda *a: selective_scan(
+            *a, delta_softplus=True, impl="adaptive"))(*args)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2,
+                                   atol=5e-2, err_msg=f"L={L}")
+        g = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(selective_scan(
+            *a, delta_softplus=True, impl="adaptive"))),
+            argnums=(0, 1, 2)))(*args)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in g), f"L={L}"
