@@ -1,7 +1,7 @@
 """Trace-time saturation-margin collection for the selective scan.
 
 The library-default scan algorithm ("cumsum_mm", `scan_pallas.py`) is exact
-only while |A| * group-sum(delta) stays inside the +-60 rescale clip; that
+only while |A| * group-sum(delta) stays inside the +-SATURATION_CLIP rescale clip (72 by default, FM_SCAN_CLIP); that
 holds at the reference init but is NOT guaranteed under training. This
 module lets a train step observe the margin of every scan it traces without
 threading a flag through the whole module tree:

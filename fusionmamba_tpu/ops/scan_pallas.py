@@ -76,12 +76,12 @@ _SHIFT_IMPL = os.environ.get("FM_SCAN_SHIFT", "concat")
 # log2(Q) shift+add passes) instead of the (a,b) monoid doubling over two
 # expanded arrays (16 shifts + 24 flops at L_chunk=256). exp(-S) is kept in
 # fp32 range by rebasing S per Q=32-row group (worst-case |S| growth at the
-# reference's dt/A init is 1.6/step -> 51 < the +-60 clip) and combining
+# reference's dt/A init is 1.6/step -> 51 < the +-_CLIP clip) and combining
 # groups with the overflow-free (a,b) monoid on 1/Q-size carry arrays.
 # "adaptive_cell" = PER-GRID-CELL runtime selection between the two regimes:
 # each (bk-tile, d-block, l-chunk) cell computes its own rescale margin
 # max |A| * group-cumsum(delta) (one unexpanded-width multiply + reduce) and
-# branches via an in-kernel lax.cond -- margin inside the +-60 clip -> the
+# branches via an in-kernel lax.cond -- margin inside the +-_CLIP clip -> the
 # fast cumsum_mm rescan (bit-identical to FM_SCAN_ALGO=cumsum_mm there),
 # margin outside -> the magnitude-exact doubling scan for that cell only.
 # Numerically validated at every magnitude (test_adaptive_algo_*), but
@@ -113,13 +113,27 @@ def _algo() -> str:
     return _SCAN_ALGO if override is None else override
 
 # group size for the cumsum algorithms' rescale rebasing; must keep
-# |A| * sum(delta) within a group below the +-60 fp32 exp clip. At the
+# |A| * sum(delta) within a group below the +-_CLIP fp32 exp clip. At the
 # reference model's init (|A| <= d_state = 16, worst-lane delta ~ 0.1,
 # i.e. ~1.6/step worst case) q=32 bounds |S| by ~51 and q=16 by ~26;
 # lanes that exceed the clip saturate their decay weights (bounded,
 # documented deviation -- "doubling" remains the exact fallback).
 _CUMSUM_Q = int(os.environ.get("FM_SCAN_CUMSUM_Q", 32))
-_CLIP = 60.0
+
+# rescale clip: the exact-envelope boundary of the cumsum algorithms. Every
+# exp argument in the rescale is a GROUP-relative log-decay in [-_CLIP, 0]
+# (or its negation), so the largest factorized intermediate is
+# |operand| * q * e^_CLIP and fp32 overflows at e^88.7. 72 leaves
+# e^(88.7-72)/q ~ 5.6e5 of operand-magnitude headroom (activations and
+# gradients are O(1e2) in practice) while widening the exact band well past
+# the reference-init margins (51-58 at q=32) AND most of the trained-regime
+# drift: 7 of the 12 scans that crossed 60 by step 200 sat at 61-72
+# (bench_artifacts/r5/margin_trip_distribution_200steps.txt), i.e. they now
+# stay on the fast cumsum_mm tier with zero repair cost. Raising the clip
+# costs nothing at runtime -- it only changes where jnp.clip bites and
+# where the adaptive repair (margin >= _CLIP) triggers. Beyond _CLIP the
+# magnitude-exact doubling tier takes over (impl="adaptive").
+_CLIP = float(os.environ.get("FM_SCAN_CLIP", 72.0))
 
 # matmul mode for the cumsum_mm triangular dots. The triangular-ones matrix
 # is EXACT in bf16, so the only rounding is on the scanned values:
@@ -301,7 +315,7 @@ def saturation_margin(delta: jax.Array, A: jax.Array,
     with the same chunk/group partition `_pick_blocks`/`_cumsum_q` choose.
 
     The shipped default algorithm ("cumsum_mm") is EXACT only while this
-    margin stays below `SATURATION_CLIP` (+-60): beyond it, exp(S) clips and
+    margin stays below `SATURATION_CLIP` (+-72 default, FM_SCAN_CLIP): beyond it, exp(S) clips and
     decay weights silently saturate (scan_pallas.py:76-85). True at the
     reference init (margin ~51 worst case) but not guaranteed under
     training -- this helper is the cheap runtime detector (it runs on the

@@ -193,8 +193,8 @@ def make_fusion_train_step(model, compute_dtype=jnp.float32,
 
     scan_guard=True adds a `scan_sat_margin` metric: the max
     |A|*group-sum(delta) any selective scan in the step saw (the shipped
-    cumsum_mm scan is exact only below ops.scan_guard.SATURATION_CLIP =
-    60 -- the training CLIs log it and warn on approach, so saturated
+    cumsum_mm scan is exact only below ops.scan_guard.SATURATION_CLIP,
+    72 by default -- the training CLIs log it and warn on approach, so saturated
     decay weights cannot pass silently). Costs ~2 extra passes over the
     UNEXPANDED dt arrays (~1-2% of a step).
 

@@ -704,3 +704,56 @@ def test_adaptive_compiled_tiny_sequence_lengths(monkeypatch):
             *a, delta_softplus=True, impl="adaptive"))),
             argnums=(0, 1, 2)))(*args)
         assert all(bool(jnp.all(jnp.isfinite(x))) for x in g), f"L={L}"
+
+
+def test_extended_clip_band_is_exact(monkeypatch):
+    """Margins between the OLD +-60 rescale clip and the shipped _CLIP=72
+    stay exact on the cumsum family -- the widened envelope that keeps 7
+    of the 12 step-200 trained-regime scans (margins 61-72, see
+    bench_artifacts/r5/margin_trip_distribution_200steps.txt) on the fast
+    tier with no adaptive repair. Uses constant dt so the margin is exactly
+    q * dt * |A| (test_scan_guard.py:40-45) and lands in (60, _CLIP)."""
+    from fusionmamba_tpu.ops import scan_pallas as sp
+    from fusionmamba_tpu.ops.scan_pallas import saturation_margin
+    assert sp._CLIP > 66.5, "test targets the >60 band of the 72 clip"
+    for algo in ("cumsum", "cumsum_mm"):
+        monkeypatch.setattr(sp, "_SCAN_ALGO", algo)
+        rng = np.random.default_rng(51)
+        batch, K, L, dim, N = 1, 2, 64, 8, 4
+        u = rng.standard_normal((batch, K, L, dim)).astype(np.float32)
+        dval = 66.0 / (sp._CUMSUM_Q * 2.0)      # margin = q * dval * amax
+        draw = float(np.log(np.expm1(dval)))     # softplus^-1(dval)
+        delta = np.full((batch, K, L, dim), draw, np.float32)
+        A = np.full((K, dim, N), -2.0, np.float32)
+        B = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+        C = rng.standard_normal((batch, K, L, N)).astype(np.float32)
+        D = rng.standard_normal((K, dim)).astype(np.float32)
+        args = tuple(jnp.asarray(x) for x in (u, delta, A, B, C, D))
+        m = float(saturation_margin(args[1], args[2], None,
+                                    delta_softplus=True))
+        assert 60.0 < m < sp._CLIP, m
+
+        want = golden_scan_np(u, delta, A, B, C, D, None, True)
+        got = selective_scan_pallas(*args, None, delta_softplus=True,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-3,
+                                   atol=3e-3, err_msg=algo)
+
+        def loss(*a):
+            out = selective_scan_pallas(*a, None, delta_softplus=True,
+                                        interpret=True)
+            return jnp.sum(out * jnp.cos(jnp.arange(
+                out.size, dtype=jnp.float32)).reshape(out.shape))
+
+        def loss_ref(*a):
+            out = selective_scan_ref(*a, None, delta_softplus=True)
+            return jnp.sum(out * jnp.cos(jnp.arange(
+                out.size, dtype=jnp.float32)).reshape(out.shape))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(*args)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+        for name, a, b in zip(["du", "ddelta", "dA"], g, g_ref):
+            sc = np.maximum(np.abs(np.asarray(b)).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a) / sc, np.asarray(b) / sc, rtol=3e-3,
+                atol=3e-3, err_msg=f"extended-band grad {name} ({algo})")
